@@ -1,0 +1,15 @@
+"""Root conftest: force tests onto a virtual 8-device CPU mesh.
+
+Must run before jax initializes its backends, hence env mutation at import
+time of the root conftest (pytest imports this before any test module).
+The real-TPU benchmark path never imports this file.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

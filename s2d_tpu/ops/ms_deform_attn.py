@@ -1,0 +1,90 @@
+"""Multi-scale deformable attention — pure-JAX (XLA) implementation.
+
+This is the TPU-native equivalent of the reference's CUDA extension
+`MultiScaleDeformableAttention` (`/root/reference/model_training/mask2former/
+modeling/pixel_decoder/ops/`): for every query, head, feature level, and
+sampling point, bilinearly sample the value map at a predicted location and
+accumulate with softmax attention weights. Semantics (normalized [0,1]
+sampling locations, align_corners=False bilinear, zero padding out of bounds)
+match the reference's own pure-torch oracle (`ops/functions/
+ms_deform_attn_func.py:52-72`), which its CUDA kernel is tested against
+(`ops/test.py:36-92`). We mirror that test strategy: this XLA version is the
+oracle for the Pallas TPU kernel (``ms_deform_attn_pallas.py``), and is itself
+tested against an independent numpy loop implementation + torch grid_sample.
+
+Spatial shapes are STATIC (python tuple) — the level loop unrolls at trace
+time so XLA sees fixed-shape gathers per level. That is the key departure
+from the reference, whose spatial shapes are a runtime tensor.
+
+Autodiff: plain jax.grad works through the gather/arithmetic — the backward
+pass XLA generates is a scatter-add into the value gradient, which is exactly
+what the reference hand-writes in CUDA (`ms_deform_im2col_cuda.cuh:306-927`).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .sampling import grid_sample
+
+
+def ms_deform_attn(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    *,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Multi-scale deformable attention core.
+
+    Args:
+      value: (B, S, M, D) flattened multi-level value features, where
+        S = sum(H_l * W_l), M = heads, D = head dim.
+      spatial_shapes: static list of (H_l, W_l) per level, concatenation
+        order matching `value`.
+      sampling_locations: (B, Lq, M, L, P, 2) in [0, 1], xy order.
+      attention_weights: (B, Lq, M, L, P), softmax-normalized over (L, P).
+      impl: "xla" (this file) or "pallas" (TPU kernel).
+
+    Returns:
+      (B, Lq, M * D) attended features.
+    """
+    if impl == "pallas":
+        from .ms_deform_attn_pallas import ms_deform_attn_pallas
+
+        return ms_deform_attn_pallas(
+            value, tuple(spatial_shapes), sampling_locations, attention_weights
+        )
+    return _ms_deform_attn_xla(
+        value, tuple(spatial_shapes), sampling_locations, attention_weights
+    )
+
+
+def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations, attention_weights):
+    b, s, m, d = value.shape
+    _, lq, _, num_levels, p, _ = sampling_locations.shape
+    assert len(spatial_shapes) == num_levels
+    assert sum(h * w for h, w in spatial_shapes) == s
+
+    sampled_per_level = []
+    start = 0
+    for lid, (h, w) in enumerate(spatial_shapes):
+        # (B, HW, M, D) -> (B*M, D, H, W)
+        v = value[:, start : start + h * w]
+        v = v.transpose(0, 2, 3, 1).reshape(b * m, d, h, w)
+        # (B, Lq, M, P, 2) -> (B*M, Lq, P, 2), rescaled to [-1, 1]
+        loc = sampling_locations[:, :, :, lid]
+        grid = 2.0 * loc.transpose(0, 2, 1, 3, 4).reshape(b * m, lq, p, 2) - 1.0
+        # (B*M, D, Lq, P)
+        sampled_per_level.append(grid_sample(v, grid))
+        start += h * w
+
+    # (B*M, D, Lq, L, P)
+    sampled = jnp.stack(sampled_per_level, axis=3)
+    # (B, Lq, M, L, P) -> (B*M, 1, Lq, L, P)
+    weights = attention_weights.transpose(0, 2, 1, 3, 4).reshape(b * m, 1, lq, num_levels, p)
+    out = (sampled * weights).sum(axis=(3, 4))  # (B*M, D, Lq)
+    return out.reshape(b, m, d, lq).transpose(0, 3, 1, 2).reshape(b, lq, m * d)

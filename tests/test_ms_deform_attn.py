@@ -1,0 +1,99 @@
+"""MS deformable attention: XLA implementation vs an independent numpy oracle.
+
+Mirrors the reference's own op-parity strategy (`/root/reference/
+model_training/mask2former/modeling/pixel_decoder/ops/test.py`): the oracle is
+a naive per-point loop with explicit bilinear interpolation, written
+independently of both the JAX and torch implementations.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2d_tpu.ops import ms_deform_attn
+
+
+def numpy_msda_oracle(value, spatial_shapes, locs, weights):
+    """Naive loop oracle. value (B,S,M,D); locs (B,Lq,M,L,P,2); w (B,Lq,M,L,P)."""
+    b, s, m, d = value.shape
+    _, lq, _, nl, p, _ = locs.shape
+    starts = np.cumsum([0] + [h * w for h, w in spatial_shapes])[:-1]
+    out = np.zeros((b, lq, m * d), dtype=np.float64)
+    for bi in range(b):
+        for qi in range(lq):
+            for mi in range(m):
+                acc = np.zeros(d)
+                for li, (h, w) in enumerate(spatial_shapes):
+                    vmap = value[bi, starts[li] : starts[li] + h * w, mi].reshape(h, w, d)
+                    for pi in range(p):
+                        x, y = locs[bi, qi, mi, li, pi]
+                        # [0,1] -> pixel coords, half-pixel centres
+                        ix, iy = x * w - 0.5, y * h - 0.5
+                        x0, y0 = int(np.floor(ix)), int(np.floor(iy))
+                        sample = np.zeros(d)
+                        for (xc, yc, wt) in [
+                            (x0, y0, (1 - (ix - x0)) * (1 - (iy - y0))),
+                            (x0 + 1, y0, (ix - x0) * (1 - (iy - y0))),
+                            (x0, y0 + 1, (1 - (ix - x0)) * (iy - y0)),
+                            (x0 + 1, y0 + 1, (ix - x0) * (iy - y0)),
+                        ]:
+                            if 0 <= xc < w and 0 <= yc < h:
+                                sample += wt * vmap[yc, xc]
+                        acc += weights[bi, qi, mi, li, pi] * sample
+                out[bi, qi, mi * d : (mi + 1) * d] = acc
+    return out
+
+
+def _random_inputs(seed=0, b=2, lq=7, m=2, d=4, p=3):
+    rng = np.random.RandomState(seed)
+    spatial_shapes = [(6, 9), (3, 5), (2, 2)]
+    s = sum(h * w for h, w in spatial_shapes)
+    nl = len(spatial_shapes)
+    value = rng.randn(b, s, m, d).astype(np.float32)
+    locs = rng.uniform(-0.2, 1.2, size=(b, lq, m, nl, p, 2)).astype(np.float32)
+    w = rng.rand(b, lq, m, nl, p).astype(np.float32)
+    w /= w.reshape(b, lq, m, -1).sum(-1)[..., None, None]
+    return value, spatial_shapes, locs, w
+
+
+def test_msda_xla_matches_oracle():
+    value, shapes, locs, w = _random_inputs()
+    ref = numpy_msda_oracle(
+        value.astype(np.float64), shapes, locs.astype(np.float64), w.astype(np.float64)
+    )
+    out = np.asarray(
+        ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w))
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_msda_grad_finite_differences():
+    value, shapes, locs, w = _random_inputs(seed=1, b=1, lq=3, m=1, d=2, p=2)
+    value, locs, w = jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w)
+
+    def f(v, l, a):
+        return jnp.sum(ms_deform_attn(v, shapes, l, a) ** 2)
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(value, locs, w)
+    eps = 1e-3
+    rng = np.random.RandomState(0)
+    for argi, arg in enumerate([value, locs, w]):
+        arr = np.asarray(arg)
+        for _ in range(5):
+            idx = tuple(rng.randint(0, sdim) for sdim in arr.shape)
+            bumped = arr.copy()
+            bumped[idx] += eps
+            hi = f(*(jnp.asarray(bumped) if i == argi else a for i, a in enumerate([value, locs, w])))
+            bumped[idx] -= 2 * eps
+            lo = f(*(jnp.asarray(bumped) if i == argi else a for i, a in enumerate([value, locs, w])))
+            fd = (float(hi) - float(lo)) / (2 * eps)
+            an = float(np.asarray(grads[argi])[idx])
+            assert abs(fd - an) < 2e-2 * max(1.0, abs(fd)), (argi, idx, fd, an)
+
+
+def test_msda_jit_compiles():
+    value, shapes, locs, w = _random_inputs(seed=2)
+    fn = jax.jit(lambda v, l, a: ms_deform_attn(v, shapes, l, a))
+    out = fn(jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+    assert out.shape == (value.shape[0], locs.shape[1], value.shape[2] * value.shape[3])

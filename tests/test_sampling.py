@@ -1,0 +1,44 @@
+"""Parity of grid_sample / point_sample vs torch (CPU) reference semantics."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from s2d_tpu.ops import grid_sample, point_sample
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("shape", [(2, 3, 8, 11), (1, 16, 5, 7)])
+def test_grid_sample_matches_torch(seed, shape):
+    rng = np.random.RandomState(seed)
+    n, c, h, w = shape
+    x = rng.randn(n, c, h, w).astype(np.float32)
+    # include far out-of-bounds coords to exercise zero padding
+    grid = rng.uniform(-1.7, 1.7, size=(n, 6, 9, 2)).astype(np.float32)
+
+    ref = F.grid_sample(
+        torch.from_numpy(x),
+        torch.from_numpy(grid),
+        mode="bilinear",
+        padding_mode="zeros",
+        align_corners=False,
+    ).numpy()
+    out = np.asarray(grid_sample(jnp.asarray(x), jnp.asarray(grid)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_point_sample_matches_torch():
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 4, 10, 13).astype(np.float32)
+    pts = rng.uniform(0, 1, size=(2, 37, 2)).astype(np.float32)
+
+    tgrid = torch.from_numpy(2.0 * pts - 1.0).unsqueeze(2)  # (N, P, 1, 2)
+    ref = (
+        F.grid_sample(torch.from_numpy(x), tgrid, align_corners=False)
+        .squeeze(3)
+        .numpy()
+    )
+    out = np.asarray(point_sample(jnp.asarray(x), jnp.asarray(pts)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
