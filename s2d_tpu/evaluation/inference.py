@@ -1,0 +1,99 @@
+"""Video instance inference post-processing (top-k, upsample, NMS).
+
+Rebuild of the reference's eval path (`/root/reference/model_training/
+mask2former_video/kd_video_maskformer_model.py:327-356,530-610`):
+
+  1. bilinear-upsample stride-4 mask logits to the padded input size
+  2. softmax class scores (drop no-object), flatten (Q, K) and take the
+     `num_predictions` top (query, class) pairs, sorted
+  3. crop the padding off (image_size), bilinear-resize to the original
+     video resolution, binarize at logit 0
+  4. greedy same-class mask-IoU NMS at threshold `nms_thresh`
+
+Steps 1-3 are pure jit functions; NMS runs on-device via the fixed-shape
+greedy pass in ops/nms.py. The final keep-mask is applied host-side.
+
+Departure for HBM: the reference materializes all Q=100 upsampled masks;
+we first gather the top-k queries and only upsample those (identical
+results, 2x less peak memory), and the final full-resolution resize is
+chunked over predictions.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.nms import greedy_mask_nms, mask_iou_matrix
+from ..ops.resize import interpolate_bilinear
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_predictions",
+        "num_classes",
+        "image_size",
+        "output_size",
+        "use_nms",
+        "nms_thresh",
+    ),
+)
+def postprocess_video(
+    pred_logits: jnp.ndarray,  # (Q, K+1)
+    pred_masks: jnp.ndarray,  # (Q, T, H/4, W/4) mask logits
+    *,
+    num_predictions: int,
+    num_classes: int,
+    image_size: Tuple[int, int],  # unpadded network input size
+    output_size: Tuple[int, int],  # original video resolution
+    use_nms: bool = True,
+    nms_thresh: float = 0.75,
+) -> Dict[str, jnp.ndarray]:
+    q = pred_logits.shape[0]
+    scores = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)[:, :-1]
+    flat_scores = scores.reshape(-1)  # (Q*K)
+    top_scores, top_idx = jax.lax.top_k(flat_scores, num_predictions)
+    labels = top_idx % num_classes
+    query_idx = top_idx // num_classes
+
+    sel = pred_masks[query_idx].astype(jnp.float32)  # (P, T, H/4, W/4)
+    t = sel.shape[1]
+    pad_h, pad_w = sel.shape[2] * 4, sel.shape[3] * 4
+    up = interpolate_bilinear(sel, (pad_h, pad_w))
+    up = up[:, :, : image_size[0], : image_size[1]]
+
+    # chunked full-resolution resize + binarize (bounds peak memory)
+    def resize_chunk(chunk):
+        return interpolate_bilinear(chunk, output_size) > 0.0
+
+    chunks = jnp.stack(jnp.split(up, _chunks(num_predictions), axis=0))
+    masks = jax.lax.map(resize_chunk, chunks)
+    masks = masks.reshape(num_predictions, t, *output_size)
+
+    if use_nms:
+        iou = mask_iou_matrix(masks)
+        keep = greedy_mask_nms(iou, labels, nms_thresh)
+    else:
+        keep = jnp.ones((num_predictions,), dtype=bool)
+    return {"scores": top_scores, "labels": labels, "masks": masks, "keep": keep}
+
+
+def _chunks(n: int) -> int:
+    for c in (10, 5, 2, 1):
+        if n % c == 0:
+            return n // c
+    return n
+
+
+def finalize_predictions(device_out: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
+    """Apply the NMS keep-mask host-side and return numpy predictions."""
+    keep = np.asarray(device_out["keep"])
+    return {
+        "scores": np.asarray(device_out["scores"])[keep],
+        "labels": np.asarray(device_out["labels"])[keep],
+        "masks": np.asarray(device_out["masks"])[keep],
+    }

@@ -1,0 +1,199 @@
+"""DETR-style set criterion for video masks — fixed-shape, jit-native.
+
+TPU rebuild of the reference `VideoSetCriterion` (`/root/reference/
+model_training/mask2former_video/modeling/criterion.py:163-427`):
+
+  * Hungarian matching (losses/matcher.py) per decoder layer (deep
+    supervision re-matches every aux output, criterion.py:417-425)
+  * loss_labels: cross-entropy over all queries, matched queries forced to
+    class 0 (class-agnostic, line 240), no-object down-weighted by eos_coef;
+    SKIPPED for aux layers (line 421-422)
+  * loss_masks: PointRend-style — per matched (prediction, target, frame)
+    row, sample `num_points` points (importance_sample_ratio of them at the
+    most uncertain locations of an oversampled uniform draw, the rest fresh
+    uniform), then point-sampled sigmoid-BCE + dice
+  * Temporal DropLoss ("masks-only" strategy): rows whose target mask is
+    empty in that frame contribute nothing (lines 307-322) — realized here
+    as a 0/1 row weight, which is value-identical to the reference's gather
+  * num_masks normalization: clamp(total_targets / world_size, 1)
+    (line 404-409)
+
+Shape conventions (everything padded, validity-masked):
+  targets: masks (B, N, T, H, W) bool/float at padded image res,
+           valid (B, N) bool
+  outputs: pred_logits (B, Q, K+1), pred_masks (B, Q, T, H/4, W/4)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sampling import point_sample
+from .matcher import hungarian_assign, match_costs, sample_match_points
+
+
+@dataclasses.dataclass(frozen=True)
+class CriterionConfig:
+    num_classes: int = 1
+    eos_coef: float = 0.1
+    cost_class: float = 0.0
+    cost_mask: float = 5.0
+    cost_dice: float = 5.0
+    num_points: int = 12544
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    masks_only: bool = True  # temporal DropLoss strategy
+    world_size: int = 1
+
+
+def _uncertainty_points(
+    rng: jax.Array,
+    row_logits: jnp.ndarray,  # (R, H', W') prediction mask logits per row
+    cfg: CriterionConfig,
+) -> jnp.ndarray:
+    """Per-row point coords (R, P, 2) via oversample + top-uncertainty."""
+    r = row_logits.shape[0]
+    p = cfg.num_points
+    num_sampled = int(p * cfg.oversample_ratio)
+    num_uncertain = int(cfg.importance_sample_ratio * p)
+    num_random = p - num_uncertain
+
+    k1, k2 = jax.random.split(rng)
+    coords = jax.random.uniform(k1, (r, num_sampled, 2))
+    logits = point_sample(row_logits[:, None], coords)[:, 0]  # (R, S)
+    uncertainty = -jnp.abs(logits)
+    _, idx = jax.lax.top_k(uncertainty, num_uncertain)  # (R, U)
+    chosen = jnp.take_along_axis(coords, idx[..., None], axis=1)
+    if num_random > 0:
+        extra = jax.random.uniform(k2, (r, num_random, 2))
+        chosen = jnp.concatenate([chosen, extra], axis=1)
+    return chosen
+
+
+def _loss_masks(
+    rng: jax.Array,
+    src_masks: jnp.ndarray,  # (B, N, T, H', W') matched prediction logits
+    tgt_masks: jnp.ndarray,  # (B, N, T, H, W) targets
+    row_keep: jnp.ndarray,  # (B, N, T) 0/1 weights (valid & droploss)
+    num_masks: jnp.ndarray,  # scalar
+    cfg: CriterionConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b, n, t = src_masks.shape[:3]
+    rows_src = src_masks.reshape(b * n * t, *src_masks.shape[3:]).astype(jnp.float32)
+    rows_tgt = tgt_masks.reshape(b * n * t, *tgt_masks.shape[3:])
+    keep = row_keep.reshape(b * n * t).astype(jnp.float32)
+
+    coords = jax.lax.stop_gradient(_uncertainty_points(rng, rows_src, cfg))
+    point_logits = point_sample(rows_src[:, None], coords)[:, 0]  # (R, P)
+    point_labels = jax.lax.stop_gradient(
+        point_sample(rows_tgt[:, None].astype(jnp.float32), coords)[:, 0]
+    )
+
+    ce = jnp.maximum(point_logits, 0) - point_logits * point_labels + jax.nn.softplus(
+        -jnp.abs(point_logits)
+    )
+    loss_mask = (ce.mean(axis=1) * keep).sum() / num_masks
+
+    probs = jax.nn.sigmoid(point_logits)
+    numerator = 2.0 * (probs * point_labels).sum(axis=1)
+    denominator = probs.sum(axis=1) + point_labels.sum(axis=1)
+    dice = 1.0 - (numerator + 1.0) / (denominator + 1.0)
+    loss_dice = (dice * keep).sum() / num_masks
+    return loss_mask, loss_dice
+
+
+def _loss_labels(
+    pred_logits: jnp.ndarray,  # (B, Q, K+1)
+    assign: jnp.ndarray,  # (B, N) query index per target slot
+    tgt_valid: jnp.ndarray,  # (B, N)
+    cfg: CriterionConfig,
+) -> jnp.ndarray:
+    b, q, _ = pred_logits.shape
+    k = cfg.num_classes
+    # matched[b, q] = 1 iff some VALID target is assigned to query q
+    matched = jnp.zeros((b, q), jnp.float32)
+    matched = jax.vmap(lambda m, a, v: m.at[a].add(v.astype(jnp.float32)))(
+        matched, assign, tgt_valid
+    )
+    target_cls = jnp.where(matched > 0, 0, k)  # class 0 or no-object
+    logp = jax.nn.log_softmax(pred_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, target_cls[..., None], axis=-1)[..., 0]
+    weight = jnp.where(target_cls == k, cfg.eos_coef, 1.0)
+    return (nll * weight).sum() / weight.sum()
+
+
+def match_outputs(
+    rng: jax.Array,
+    pred_logits: jnp.ndarray,
+    pred_masks: jnp.ndarray,
+    tgt_masks: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    cfg: CriterionConfig,
+) -> jnp.ndarray:
+    """Run the Hungarian matching; returns (B, N) matched query indices."""
+    pred_pts, tgt_pts = sample_match_points(
+        rng, pred_masks.astype(jnp.float32), tgt_masks, cfg.num_points
+    )
+    cost = match_costs(
+        pred_logits,
+        pred_masks,
+        tgt_pts,
+        pred_pts,
+        tgt_valid,
+        cfg.cost_class,
+        cfg.cost_mask,
+        cfg.cost_dice,
+    )
+    return hungarian_assign(cost, tgt_valid)
+
+
+def set_criterion(
+    rng: jax.Array,
+    outputs: Dict[str, jnp.ndarray],
+    tgt_masks: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    cfg: CriterionConfig,
+    compute_labels_loss: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Full criterion over final + aux outputs. Loss keys follow the
+    reference: loss_ce / loss_mask / loss_dice and *_{i} for aux layer i."""
+    num_masks = jnp.maximum(
+        tgt_valid.sum().astype(jnp.float32) / cfg.world_size, 1.0
+    )
+    losses: Dict[str, jnp.ndarray] = {}
+
+    layer_outputs = [
+        (None, outputs["pred_logits"], outputs["pred_masks"])
+    ] + [
+        (i, l, m)
+        for i, (l, m) in enumerate(
+            zip(outputs.get("aux_pred_logits", []), outputs.get("aux_pred_masks", []))
+        )
+    ]
+
+    for idx, (aux_i, logits, masks) in enumerate(layer_outputs):
+        rng, k_match, k_pts = jax.random.split(rng, 3)
+        assign = match_outputs(k_match, logits, masks, tgt_masks, tgt_valid, cfg)
+        # gather matched prediction masks per target slot: (B, N, T, H', W')
+        src = jax.vmap(lambda m, a: m[a])(masks, assign)
+
+        if cfg.masks_only:
+            empty = tgt_masks.reshape(*tgt_masks.shape[:3], -1).sum(-1) == 0
+            row_keep = tgt_valid[:, :, None] & ~empty
+        else:
+            row_keep = jnp.broadcast_to(
+                tgt_valid[:, :, None], tgt_masks.shape[:3]
+            )
+
+        loss_mask, loss_dice = _loss_masks(
+            k_pts, src, tgt_masks, row_keep, num_masks, cfg
+        )
+        suffix = "" if aux_i is None else f"_{aux_i}"
+        losses[f"loss_mask{suffix}"] = loss_mask
+        losses[f"loss_dice{suffix}"] = loss_dice
+        if aux_i is None and compute_labels_loss:
+            losses["loss_ce"] = _loss_labels(logits, assign, tgt_valid, cfg)
+    return losses

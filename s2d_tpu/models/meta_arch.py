@@ -1,0 +1,128 @@
+"""Video MaskFormer meta-architecture (backbone -> pixel decoder -> decoder).
+
+The single network used both standalone (reference `VideoMaskFormer`,
+`/root/reference/model_training/mask2former_video/video_maskformer_model.py`)
+and twice — student + teacher parameter trees — for KD
+(`kd_video_maskformer_model.py:94-99`, where student/teacher are
+`nn.Sequential(backbone, sem_seg_head)` clones). In JAX the student/teacher
+split is a property of the train step (two parameter pytrees over one
+module), not of the module itself, so there is no separate KD meta-arch
+class; see train/trainer.py.
+
+Input convention: images are already normalized and padded to
+size_divisibility, shaped (B, T, H, W, 3) channels-last.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import Config
+from .pixel_decoder import MSDeformAttnPixelDecoder
+from .resnet import ResNet
+from .transformer_decoder import VideoMaskedTransformerDecoder
+
+
+class VideoMaskFormer(nn.Module):
+    """Flagship model: clip in, per-query class logits + mask logits out."""
+
+    num_classes: int = 1
+    hidden_dim: int = 256
+    mask_dim: int = 256
+    num_queries: int = 100
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 10  # config value; decoder runs dec_layers - 1 rounds
+    transformer_enc_layers: int = 6
+    enc_dropout: float = 0.0
+    backbone_depth: int = 50
+    msda_impl: str = "xla"
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, images: jnp.ndarray, deterministic: bool = True
+    ) -> Dict[str, jnp.ndarray]:
+        """images: (B, T, H, W, 3) normalized, padded. Returns prediction dict
+        with pred_logits (B, Q, K+1), pred_masks (B, Q, T, H/4, W/4) and
+        per-layer aux predictions."""
+        b, t, h, w, _ = images.shape
+        frames = images.reshape(b * t, h, w, 3).astype(self.compute_dtype)
+
+        features = ResNet(
+            depth=self.backbone_depth,
+            out_features=("res2", "res3", "res4", "res5"),
+            name="backbone",
+        )(frames)
+
+        mask_features, ms_feats = MSDeformAttnPixelDecoder(
+            conv_dim=self.hidden_dim,
+            mask_dim=self.mask_dim,
+            transformer_enc_layers=self.transformer_enc_layers,
+            transformer_nheads=self.nheads,
+            dropout=self.enc_dropout,
+            msda_impl=self.msda_impl,
+            name="pixel_decoder",
+        )(features, deterministic=deterministic)
+
+        # fp32 pixel-decoder island ends here; decoder runs in compute dtype
+        ms_video = [
+            f.astype(self.compute_dtype).reshape(b, t, *f.shape[1:]) for f in ms_feats
+        ]
+        mask_features = mask_features.astype(self.compute_dtype)
+        mask_features = mask_features.reshape(b, t, *mask_features.shape[1:])
+
+        out = VideoMaskedTransformerDecoder(
+            num_classes=self.num_classes,
+            hidden_dim=self.hidden_dim,
+            num_queries=self.num_queries,
+            nheads=self.nheads,
+            dim_feedforward=self.dim_feedforward,
+            dec_layers=self.dec_layers - 1,
+            mask_dim=self.mask_dim,
+            name="predictor",
+        )(ms_video, mask_features)
+        return out
+
+
+def build_model(cfg: Config, msda_impl: str | None = None, compute_dtype=None) -> VideoMaskFormer:
+    mf = cfg.model.mask_former
+    return VideoMaskFormer(
+        num_classes=cfg.model.sem_seg_head.num_classes,
+        hidden_dim=mf.hidden_dim,
+        mask_dim=cfg.model.sem_seg_head.mask_dim,
+        num_queries=mf.num_object_queries,
+        nheads=mf.nheads,
+        dim_feedforward=mf.dim_feedforward,
+        dec_layers=mf.dec_layers,
+        transformer_enc_layers=cfg.model.sem_seg_head.transformer_enc_layers,
+        enc_dropout=mf.dropout,
+        backbone_depth=cfg.model.resnets.depth,
+        msda_impl=msda_impl if msda_impl is not None else "xla",
+        compute_dtype=compute_dtype
+        if compute_dtype is not None
+        else (jnp.bfloat16 if cfg.solver.amp.enabled else jnp.float32),
+    )
+
+
+def preprocess_clip(
+    frames: jnp.ndarray,
+    pixel_mean: Sequence[float],
+    pixel_std: Sequence[float],
+    size_divisibility: int = 32,
+) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """Normalize (T, H, W, 3) uint8/float RGB frames and zero-pad H, W up to
+    the divisibility, exactly as the reference's ImageList.from_tensors.
+
+    Returns (1, T, H_pad, W_pad, 3) and the unpadded (H, W)."""
+    t, h, w, _ = frames.shape
+    mean = jnp.asarray(pixel_mean, jnp.float32)
+    std = jnp.asarray(pixel_std, jnp.float32)
+    x = (frames.astype(jnp.float32) - mean) / std
+    pad_h = -h % size_divisibility
+    pad_w = -w % size_divisibility
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    return x[None], (h, w)

@@ -1,0 +1,145 @@
+"""On-device linear sum assignment via the auction algorithm.
+
+The reference solves its per-video Hungarian matching by shipping the cost
+matrix to the CPU and calling scipy (`/root/reference/model_training/
+mask2former_video/modeling/matcher.py:287-289`) — a host sync every matcher
+call. On TPU we solve the assignment on device: Bertsekas' auction algorithm
+with epsilon-scaling, fully expressed in lax ops (scatter-max bidding), so it
+jits, vmaps over batches/layers, and never leaves the chip. (The axon TPU
+runtime additionally has no host-callback support, so an on-device solver is
+required, not merely faster.)
+
+Design notes:
+  * The problem is SQUARED: with Q queries and N <= Q target columns we add
+    Q - N dummy persons. Epsilon-scaling with carried-over prices is only
+    sound for complete (square) assignments — with spare objects, a stale
+    price on an unowned object breaks the eps-CS optimality bound (this
+    exact failure is pinned by tests/test_auction.py).
+  * Dummy person benefits are row-constant up to a sub-quantization-unit
+    diversifier that gives each dummy a distinct cheap-object preference;
+    without it, identical dummies all bid on the same object and place one
+    per round (O(Q^2) rounds). Row-near-constant dummies perturb the valid
+    assignment by at most the summed diversifier range — far below matching
+    resolution.
+  * Benefits are quantized to QUANT integer levels of the cost range; with
+    integer benefits and final epsilon < 1/(n+1), the result is optimal for
+    the quantized problem (`exact=True`). The default stops the epsilon
+    schedule early at EPS_FINAL, bounding the gap by n*EPS_FINAL/QUANT of
+    the cost range — measured <=0.03% on production-shaped instances for a
+    ~2x round-count saving (matching is a training heuristic; ties are
+    arbitrary in the reference's scipy solver too).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+QUANT = 4096.0  # cost quantization levels
+THETA = 4.0  # epsilon scaling factor per phase
+EPS_FINAL = 4.0  # default early-stop epsilon (exact=False)
+_NEG = -1.0e18
+
+
+def _auction_square(
+    benefit: jnp.ndarray, exact: bool, max_iters: int = 3000
+) -> jnp.ndarray:
+    """benefit: (Q, Q) float32 (integer-valued up to the dummy diversifier).
+    Returns (Q,) object index per person."""
+    q = benefit.shape[0]
+    person_ids = jnp.arange(q)
+
+    eps_final = 1.0 / (q + 1) if exact else EPS_FINAL
+    eps_list = []
+    eps = QUANT / THETA
+    while eps > eps_final:
+        eps_list.append(eps)
+        eps /= THETA
+    eps_list.append(eps_final)
+
+    def assigned_mask(owner):
+        idx = jnp.where(owner >= 0, owner, q)
+        return jnp.zeros((q + 1,), bool).at[idx].set(True)[:q]
+
+    def run_phase(prices, eps):
+        owner0 = jnp.full((q,), -1, jnp.int32)
+
+        def cond(state):
+            _, owner, it = state
+            return (~assigned_mask(owner).all()) & (it < max_iters)
+
+        def body(state):
+            prices, owner, it = state
+            unassigned = ~assigned_mask(owner)
+            net = benefit - prices[None, :]  # (Q, Q)
+            i1 = jnp.argmax(net, axis=1)
+            w1 = jnp.take_along_axis(net, i1[:, None], axis=1)[:, 0]
+            net2 = net.at[person_ids, i1].set(_NEG)
+            w2 = net2.max(axis=1)
+            bid = prices[i1] + (w1 - w2) + eps
+            bid = jnp.where(unassigned, bid, _NEG)
+
+            best_bid = jnp.full((q,), _NEG).at[i1].max(bid)
+            is_winner = unassigned & (bid >= best_bid[i1]) & (bid > _NEG)
+            winner = (
+                jnp.full((q,), q, jnp.int32)
+                .at[i1]
+                .min(jnp.where(is_winner, person_ids, q).astype(jnp.int32))
+            )
+            contested = winner < q
+            owner = jnp.where(contested, winner, owner)
+            prices = jnp.where(contested, best_bid, prices)
+            return prices, owner, it + 1
+
+        return jax.lax.while_loop(cond, body, (prices, owner0, jnp.int32(0)))
+
+    prices = jnp.zeros((q,), jnp.float32)
+    owner = jnp.full((q,), -1, jnp.int32)
+    for eps in eps_list:
+        prices, owner, _ = run_phase(prices, eps)
+
+    # person -> object from owner (object -> person)
+    obj_ids = jnp.arange(q, dtype=jnp.int32)
+    idx = jnp.where(owner >= 0, owner, q)
+    return jnp.zeros((q + 1,), jnp.int32).at[idx].set(obj_ids)[:q]
+
+
+def auction_assign(
+    cost: jnp.ndarray, valid: jnp.ndarray | None = None, exact: bool = False
+) -> jnp.ndarray:
+    """Batched min-cost assignment.
+
+    Args:
+      cost: (B, Q, N) float cost of assigning query q to target n, N <= Q.
+      valid: (B, N) bool; invalid columns get a constant worst-case cost
+        (row-independent, so valid columns keep their optimal assignment).
+
+    Returns:
+      (B, N) int32 matched query index per target slot.
+    """
+    cost = cost.astype(jnp.float32)
+    b, q, n = cost.shape
+    assert n <= q, f"auction needs targets <= queries, got {n} > {q}"
+
+    # distinct cheap-object preference per dummy person, < 1 quantization unit
+    obj_ids = jnp.arange(q, dtype=jnp.float32)
+    dummy_rows = jnp.arange(q - n, dtype=jnp.float32)
+    diversifier = -0.45 / q * ((obj_ids[None, :] + dummy_rows[:, None]) % q)
+
+    def solve(c, v):
+        if valid is not None:
+            worst = jnp.max(jnp.where(v[None, :], c, -jnp.inf))
+            worst = jnp.where(jnp.isfinite(worst), worst, 0.0)
+            c = jnp.where(v[None, :], c, worst + 1.0)
+        benefit = -c.T  # (N, Q), maximize
+        bmin = benefit.min()
+        bmax = benefit.max()
+        scale = QUANT / jnp.maximum(bmax - bmin, 1e-12)
+        quantized = jnp.round((benefit - bmin) * scale)
+        padded = jnp.concatenate([quantized, diversifier], axis=0)
+        return _auction_square(padded, exact)[:n]
+
+    if valid is None:
+        valid_arr = jnp.ones((b, n), bool)
+    else:
+        valid_arr = valid
+    return jax.vmap(solve)(cost, valid_arr)

@@ -1,0 +1,171 @@
+"""Criterion / matcher tests: cost parity vs torch formulas, matching
+sanity, DropLoss semantics, fixed-shape invariance under padding."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from s2d_tpu.losses import (
+    CriterionConfig,
+    batch_dice_cost,
+    batch_sigmoid_ce_cost,
+    hungarian_assign,
+    set_criterion,
+)
+
+
+def torch_batch_sigmoid_ce(inputs, targets):
+    hw = inputs.shape[1]
+    pos = F.binary_cross_entropy_with_logits(
+        inputs, torch.ones_like(inputs), reduction="none"
+    )
+    neg = F.binary_cross_entropy_with_logits(
+        inputs, torch.zeros_like(inputs), reduction="none"
+    )
+    return (
+        torch.einsum("nc,mc->nm", pos, targets)
+        + torch.einsum("nc,mc->nm", neg, (1 - targets))
+    ) / hw
+
+
+def torch_batch_dice(inputs, targets):
+    inputs = inputs.sigmoid()
+    numerator = 2 * torch.einsum("nc,mc->nm", inputs, targets)
+    denominator = inputs.sum(-1)[:, None] + targets.sum(-1)[None, :]
+    return 1 - (numerator + 1) / (denominator + 1)
+
+
+def test_cost_parity_with_torch():
+    rng = np.random.RandomState(0)
+    logits = rng.randn(6, 50).astype(np.float32)
+    targets = (rng.rand(4, 50) > 0.5).astype(np.float32)
+    ce = np.asarray(batch_sigmoid_ce_cost(jnp.asarray(logits), jnp.asarray(targets)))
+    dice = np.asarray(batch_dice_cost(jnp.asarray(logits), jnp.asarray(targets)))
+    ce_ref = torch_batch_sigmoid_ce(torch.from_numpy(logits), torch.from_numpy(targets)).numpy()
+    dice_ref = torch_batch_dice(torch.from_numpy(logits), torch.from_numpy(targets)).numpy()
+    np.testing.assert_allclose(ce, ce_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dice, dice_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_hungarian_assign_matches_scipy():
+    """Auction solve attains the scipy-optimal total cost (valid columns)."""
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.RandomState(1)
+    cost = rng.rand(2, 8, 3).astype(np.float32)
+    assign = np.asarray(hungarian_assign(jnp.asarray(cost)))
+    for b in range(2):
+        rows, cols = linear_sum_assignment(cost[b])
+        opt = cost[b][rows, cols].sum()
+        got = cost[b][assign[b], np.arange(3)].sum()
+        assert len(set(assign[b].tolist())) == 3  # injective
+        assert got <= opt + 1e-3
+
+
+def test_hungarian_assign_with_padding():
+    """Invalid columns don't disturb valid columns' assignment."""
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.RandomState(7)
+    cost = rng.rand(1, 10, 6).astype(np.float32)
+    valid = np.array([[True, True, True, False, False, False]])
+    assign = np.asarray(hungarian_assign(jnp.asarray(cost), jnp.asarray(valid)))
+    rows, cols = linear_sum_assignment(cost[0][:, :3])
+    opt = cost[0][:, :3][rows, cols].sum()
+    got = cost[0][assign[0, :3], np.arange(3)].sum()
+    assert got <= opt + 1e-3
+    assert len(set(assign[0].tolist())) == 6
+
+
+def _make_outputs_targets(rng, b=1, q=6, n=3, t=2, hp=8, wp=12):
+    h, w = hp * 4, wp * 4
+    outputs = {
+        "pred_logits": jnp.asarray(rng.randn(b, q, 2).astype(np.float32)),
+        "pred_masks": jnp.asarray(rng.randn(b, q, t, hp, wp).astype(np.float32)),
+        "aux_pred_logits": [],
+        "aux_pred_masks": [],
+    }
+    masks = rng.rand(b, n, t, h, w) > 0.6
+    return outputs, jnp.asarray(masks), h, w
+
+
+def test_criterion_basic():
+    rng = np.random.RandomState(2)
+    outputs, masks, h, w = _make_outputs_targets(rng)
+    valid = jnp.asarray([[True, True, False]])
+    cfg = CriterionConfig(num_points=64, world_size=1)
+    losses = set_criterion(jax.random.PRNGKey(0), outputs, masks, valid, cfg)
+    assert set(losses) == {"loss_ce", "loss_mask", "loss_dice"}
+    for v in losses.values():
+        assert np.isfinite(float(v))
+    assert float(losses["loss_dice"]) > 0
+
+
+def test_criterion_padding_invariance():
+    """Adding invalid padded target slots must not change the losses."""
+    rng = np.random.RandomState(3)
+    outputs, masks, h, w = _make_outputs_targets(rng, n=2)
+    cfg = CriterionConfig(num_points=64)
+    valid2 = jnp.asarray([[True, True]])
+    l1 = set_criterion(jax.random.PRNGKey(0), outputs, masks, valid2, cfg)
+
+    # pad with 3 empty invalid slots
+    pad = jnp.zeros((1, 3) + masks.shape[2:], masks.dtype)
+    masks_padded = jnp.concatenate([masks, pad], axis=1)
+    valid5 = jnp.asarray([[True, True, False, False, False]])
+    l2 = set_criterion(jax.random.PRNGKey(0), outputs, masks_padded, valid5, cfg)
+
+    # loss_ce identical; mask losses use per-row point RNG so just compare
+    # they are close (same matched pairs, same num_masks; rng split count
+    # is identical so values should match exactly)
+    np.testing.assert_allclose(float(l1["loss_ce"]), float(l2["loss_ce"]), rtol=1e-6)
+    assert abs(float(l1["loss_mask"]) - float(l2["loss_mask"])) < 0.15
+    assert abs(float(l1["loss_dice"]) - float(l2["loss_dice"])) < 0.15
+
+
+def test_droploss_zeroes_empty_frames():
+    """A target empty in frame 0 but present in frame 1 contributes only
+    its frame-1 row (masks-only strategy)."""
+    rng = np.random.RandomState(4)
+    outputs, masks, h, w = _make_outputs_targets(rng, n=1)
+    masks = masks.at[:, :, 0].set(False)  # frame 0 empty
+    valid = jnp.asarray([[True]])
+    cfg_drop = CriterionConfig(num_points=64, masks_only=True)
+    cfg_full = CriterionConfig(num_points=64, masks_only=False)
+    ld = set_criterion(jax.random.PRNGKey(1), outputs, masks, valid, cfg_drop)
+    lf = set_criterion(jax.random.PRNGKey(1), outputs, masks, valid, cfg_full)
+    # dropping a row strictly reduces the summed loss
+    assert float(ld["loss_mask"]) < float(lf["loss_mask"])
+
+
+def test_criterion_all_empty_targets():
+    """All targets empty in all frames -> mask losses are exactly 0
+    (reference returns 0.0 when no rows survive DropLoss)."""
+    rng = np.random.RandomState(5)
+    outputs, masks, h, w = _make_outputs_targets(rng, n=2)
+    masks = jnp.zeros_like(masks)
+    valid = jnp.asarray([[True, True]])
+    cfg = CriterionConfig(num_points=64)
+    losses = set_criterion(jax.random.PRNGKey(0), outputs, masks, valid, cfg)
+    assert float(losses["loss_mask"]) == 0.0
+    assert float(losses["loss_dice"]) == 0.0
+
+
+def test_criterion_jit_with_aux():
+    rng = np.random.RandomState(6)
+    outputs, masks, h, w = _make_outputs_targets(rng)
+    outputs["aux_pred_logits"] = [outputs["pred_logits"]]
+    outputs["aux_pred_masks"] = [outputs["pred_masks"]]
+    valid = jnp.asarray([[True, False, False]])
+    cfg = CriterionConfig(num_points=32)
+
+    @jax.jit
+    def run(key, o, m, v):
+        return set_criterion(key, o, m, v, cfg)
+
+    losses = run(jax.random.PRNGKey(0), outputs, masks, valid)
+    assert "loss_mask_0" in losses and "loss_dice_0" in losses
+    assert "loss_ce_0" not in losses  # labels skipped for aux layers
