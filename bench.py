@@ -1,0 +1,93 @@
+"""Benchmark: video frames/sec/chip for the flagship R50 video Mask2Former
+inference path (eval protocol shapes: MIN_SIZE_TEST=360 -> 360x640 input,
+720x1280 output, 50 predictions, mask-IoU NMS 0.75).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
+denominator is an estimated A100 throughput for the reference PyTorch
+whole-video forward at the same protocol (see ESTIMATED_A100_FPS below) so
+the ratio is comparable across rounds. The north-star target is >=5x.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+# Reference protocol throughput on A100 (frames/sec): estimated from the
+# reference's single-forward whole-clip demo path (R50 + 6-layer deformable
+# encoder + 9-layer video decoder at 360x640, AMP fp16). No published number
+# exists in the repo; this constant documents the assumed denominator.
+ESTIMATED_A100_FPS = 25.0
+
+T = 8  # frames per clip forward
+IN_H, IN_W = 360, 640
+OUT_H, OUT_W = 720, 1280
+
+
+def main():
+    from s2d_tpu.config import Config
+    from s2d_tpu.models import build_model, preprocess_clip
+    from s2d_tpu.evaluation.inference import postprocess_video
+
+    cfg = Config()
+    model = build_model(cfg)  # bf16 compute, fp32 pixel decoder
+    rng = jax.random.PRNGKey(0)
+
+    frames = jax.random.uniform(rng, (T, IN_H, IN_W, 3), jnp.float32) * 255.0
+    images, (h, w) = preprocess_clip(
+        frames, cfg.model.pixel_mean, cfg.model.pixel_std
+    )
+    variables = model.init(rng, images[:, :1])
+
+    tcfg = cfg.model.mask_former.test
+
+    @jax.jit
+    def forward(variables, images):
+        out = model.apply(variables, images)
+        return out["pred_logits"][0], out["pred_masks"][0]
+
+    def full(variables, images):
+        logits, masks = forward(variables, images)
+        return postprocess_video(
+            logits,
+            masks,
+            num_predictions=tcfg.num_predictions,
+            num_classes=cfg.model.sem_seg_head.num_classes,
+            image_size=(h, w),
+            output_size=(OUT_H, OUT_W),
+            use_nms=tcfg.use_nms,
+            nms_thresh=tcfg.nms_thresh,
+        )
+
+    # warmup / compile
+    out = full(variables, images)
+    jax.block_until_ready(out)
+
+    iters = 10
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = full(variables, images)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    fps = (iters * T) / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "video_frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / ESTIMATED_A100_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Train/test data loaders: python iterators with thread prefetch.
+
+Replaces the reference's d2 loader builders (`/root/reference/
+model_training/mask2former_video/data_video/build.py:142,208`): an infinite
+shuffled sampler over dataset dicts, the clip mapper, fixed-shape batch
+collation (images padded to a per-batch bucket divisible by
+size_divisibility), and background-thread prefetch into host staging
+buffers. Multi-host sharding = every host takes its slice of the (seeded)
+permutation, the TPU analog of TrainingSampler's rank sharding.
+"""
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .mapper import ClipMapper
+
+
+def _bucket(value: int, multiple: int = 64) -> int:
+    return -(-value // multiple) * multiple
+
+
+def collate_clips(
+    samples: List[dict],
+    pixel_mean: Sequence[float],
+    pixel_std: Sequence[float],
+    size_divisibility: int = 32,
+    bucket_multiple: int = 64,
+) -> Dict[str, np.ndarray]:
+    """Normalize, pad to the common bucketed canvas, stack."""
+    t = samples[0]["image"].shape[0]
+    max_h = _bucket(max(s["image"].shape[1] for s in samples), bucket_multiple)
+    max_w = _bucket(max(s["image"].shape[2] for s in samples), bucket_multiple)
+    max_h = _bucket(max_h, size_divisibility)
+    max_w = _bucket(max_w, size_divisibility)
+
+    mean = np.asarray(pixel_mean, np.float32)
+    std = np.asarray(pixel_std, np.float32)
+    b = len(samples)
+    n = samples[0]["masks"].shape[0]
+    images = np.zeros((b, t, max_h, max_w, 3), np.float32)
+    masks = np.zeros((b, n, t, max_h, max_w), bool)
+    valid = np.zeros((b, n), bool)
+    for i, s in enumerate(samples):
+        _, h, w, _ = s["image"].shape
+        images[i, :, :h, :w] = (s["image"] - mean) / std
+        masks[i, :, :, :h, :w] = s["masks"]
+        valid[i] = s["valid"]
+    return {"images": images, "masks": masks, "valid": valid}
+
+
+def train_loader(
+    dataset_dicts: List[dict],
+    mapper: ClipMapper,
+    batch_size: int,
+    pixel_mean: Sequence[float],
+    pixel_std: Sequence[float],
+    seed: int = 0,
+    num_shards: int = 1,
+    shard_index: int = 0,
+    prefetch: int = 2,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Infinite iterator of collated global batches for this host's shard."""
+    rng = np.random.RandomState(seed)
+
+    def sample_stream():
+        while True:
+            order = rng.permutation(len(dataset_dicts))
+            order = order[shard_index::num_shards]
+            for idx in order:
+                s = mapper(dataset_dicts[idx])
+                if s is not None:
+                    yield s
+
+    def batch_stream():
+        stream = sample_stream()
+        while True:
+            yield collate_clips(
+                list(itertools.islice(stream, batch_size)), pixel_mean, pixel_std
+            )
+
+    return _prefetch(batch_stream(), prefetch)
+
+
+def test_loader(
+    dataset_dicts: List[dict], mapper: ClipMapper, prefetch: int = 2
+) -> Iterator[dict]:
+    """One video per item, in order (reference test loader: batch size 1)."""
+
+    def stream():
+        for record in dataset_dicts:
+            yield mapper(record)
+
+    return _prefetch(stream(), prefetch)
+
+
+def _prefetch(it: Iterator, depth: int) -> Iterator:
+    if depth <= 0:
+        return it
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+
+    def drained():
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item
+
+    return drained()

@@ -1,0 +1,145 @@
+"""COCO-compatible RLE mask codec, pure numpy.
+
+pycocotools is not a dependency of this framework; the YTVIS annotation
+format (per-frame `segmentation` as compressed RLE dicts or polygon lists —
+consumed by `/root/reference/model_training/mask2former_video/data_video/
+datasets/ytvis.py:259-388`, produced by `keymask_ident/annotations.py:
+100-106`) needs encode/decode, so the codec is implemented here:
+
+  * counts are column-major (Fortran order) run lengths, starting with the
+    number of leading zeros
+  * the compressed "counts" string is the COCO variable-length base-32
+    signed encoding with difference coding from the 3rd element on
+    (chars '0'..'o' = value + 48, 5 value bits + 1 continuation bit)
+
+Round-trip and golden-value tested in tests/test_rle.py.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Union
+
+import numpy as np
+
+RLE = Dict[str, Union[List[int], str, bytes]]
+
+
+def mask_to_counts(mask: np.ndarray) -> np.ndarray:
+    """(H, W) binary mask -> run-length counts (column-major)."""
+    flat = np.asarray(mask, dtype=bool).reshape(-1, order="F")
+    if flat.size == 0:
+        return np.zeros(1, dtype=np.int64)
+    boundaries = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    runs = np.diff(np.concatenate(([0], boundaries, [flat.size])))
+    if flat[0]:  # counts must start with a zero-run
+        runs = np.concatenate(([0], runs))
+    return runs.astype(np.int64)
+
+
+def counts_to_mask(counts: Sequence[int], h: int, w: int) -> np.ndarray:
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    assert total == h * w, f"rle covers {total}, expected {h * w}"
+    flat = np.zeros(h * w, dtype=bool)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    for i in range(1, len(counts), 2):
+        flat[starts[i] : ends[i]] = True
+    return flat.reshape(h, w, order="F")
+
+
+def counts_to_string(counts: Sequence[int]) -> str:
+    """COCO compressed counts encoding (difference + signed base-32 varint)."""
+    out = []
+    counts = list(counts)
+    for i, x in enumerate(counts):
+        if i > 2:
+            x -= counts[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5  # arithmetic shift (python ints)
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            out.append(chr(c + 48))
+    return "".join(out)
+
+
+def string_to_counts(s: Union[str, bytes]) -> List[int]:
+    if isinstance(s, bytes):
+        s = s.decode("ascii")
+    counts: List[int] = []
+    i = 0
+    n = len(s)
+    while i < n:
+        x = 0
+        k = 0
+        while True:
+            c = ord(s[i]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            i += 1
+            k += 1
+            if not (c & 0x20):
+                if c & 0x10:
+                    x |= -1 << (5 * k)
+                break
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def encode(mask: np.ndarray) -> RLE:
+    """(H, W) binary mask -> {"size": [H, W], "counts": str} (compressed)."""
+    h, w = mask.shape
+    return {"size": [h, w], "counts": counts_to_string(mask_to_counts(mask))}
+
+
+def decode(rle: RLE) -> np.ndarray:
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, (str, bytes)):
+        counts = string_to_counts(counts)
+    return counts_to_mask(counts, h, w)
+
+
+def area(rle: RLE) -> int:
+    counts = rle["counts"]
+    if isinstance(counts, (str, bytes)):
+        counts = string_to_counts(counts)
+    return int(sum(counts[1::2]))
+
+
+def to_bbox(rle: RLE) -> List[float]:
+    """RLE -> [x, y, w, h] bbox (xywh, as pycocotools toBbox)."""
+    mask = decode(rle)
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    x0, x1 = xs.min(), xs.max()
+    y0, y1 = ys.min(), ys.max()
+    return [float(x0), float(y0), float(x1 - x0 + 1), float(y1 - y0 + 1)]
+
+
+def polygons_to_mask(polygons: Sequence[Sequence[float]], h: int, w: int) -> np.ndarray:
+    """COCO polygon segmentation -> binary mask (cv2 fill, frPyObjects-like)."""
+    import cv2
+
+    mask = np.zeros((h, w), dtype=np.uint8)
+    pts = [
+        np.round(np.asarray(p, dtype=np.float64).reshape(-1, 2)).astype(np.int32)
+        for p in polygons
+        if len(p) >= 6
+    ]
+    if pts:
+        cv2.fillPoly(mask, pts, 1)
+    return mask.astype(bool)
+
+
+def iou_intersection_union(a: RLE, b: RLE):
+    """Run-length-free intersection/union via decoded masks (fine for the
+    per-frame sizes YTVIS eval touches; optimize to run-merge if hot)."""
+    ma, mb = decode(a), decode(b)
+    inter = np.logical_and(ma, mb).sum()
+    union = np.logical_or(ma, mb).sum()
+    return int(inter), int(union)

@@ -1,0 +1,12 @@
+from .inference import finalize_predictions, postprocess_video
+from .ytvos_eval import evaluate_vis, iou_seq
+from .evaluator import evaluate_dataset, predictions_to_results
+
+__all__ = [
+    "finalize_predictions",
+    "postprocess_video",
+    "evaluate_vis",
+    "iou_seq",
+    "evaluate_dataset",
+    "predictions_to_results",
+]

@@ -1,0 +1,109 @@
+"""End-to-end YTVIS evaluator: model -> results.json -> AP table.
+
+Rebuild of the reference `YTVISEvaluator` (`/root/reference/model_training/
+mask2former_video/data_video/ytvis_eval.py`): per video, run the whole-clip
+forward + post-processing, convert surviving tracks to per-frame COCO RLEs
+(`instances_to_coco_json_video:324-361`), dump `results.json`, and score
+with the spatio-temporal AP in ytvos_eval.py (class-agnostic by default, as
+S2D evaluates with useCats=0).
+
+Multi-host: each host evaluates its shard of videos; merging is a plain
+list concat of per-host results (the reference's comm.gather becomes a
+file/host-level merge — no collective needed for eval).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import rle as rle_codec
+from ..data.mapper import ClipMapper, MapperConfig
+from ..data.ytvis import get_dataset
+from ..models.meta_arch import preprocess_clip
+from .inference import finalize_predictions, postprocess_video
+
+
+def predictions_to_results(
+    video_id: int, preds: Dict[str, np.ndarray], category_offset: int = 1
+) -> List[dict]:
+    """Binarized track masks -> results.json entries (per-frame RLE)."""
+    results = []
+    for score, label, track in zip(preds["scores"], preds["labels"], preds["masks"]):
+        segs = [rle_codec.encode(frame) for frame in track]
+        results.append(
+            {
+                "video_id": int(video_id),
+                "score": float(score),
+                "category_id": int(label) + category_offset,
+                "segmentations": segs,
+            }
+        )
+    return results
+
+
+def evaluate_dataset(
+    cfg: Config,
+    model,
+    variables,
+    dataset_name: str,
+    output_dir: Optional[str] = None,
+    max_videos: Optional[int] = None,
+) -> Dict[str, float]:
+    """--eval-only path: run inference over a registered dataset and score."""
+    from ..evaluation.ytvos_eval import evaluate_vis
+
+    dicts, metadata = get_dataset(dataset_name)
+    if max_videos:
+        dicts = dicts[:max_videos]
+    mapper = ClipMapper(MapperConfig.from_config(cfg, is_train=False), is_train=False)
+    tcfg = cfg.model.mask_former.test
+
+    results: List[dict] = []
+    gt_annotations: List[dict] = []
+    start = time.perf_counter()
+    for record in dicts:
+        sample = mapper(record)
+        images, (h, w) = preprocess_clip(
+            sample["image"], cfg.model.pixel_mean, cfg.model.pixel_std,
+            cfg.model.mask_former.size_divisibility,
+        )
+        out = model.apply(variables, images)
+        device_out = postprocess_video(
+            out["pred_logits"][0],
+            out["pred_masks"][0],
+            num_predictions=tcfg.num_predictions,
+            num_classes=cfg.model.sem_seg_head.num_classes,
+            image_size=(h, w),
+            output_size=(record["height"], record["width"]),
+            use_nms=tcfg.use_nms,
+            nms_thresh=tcfg.nms_thresh,
+        )
+        preds = finalize_predictions(device_out)
+        results.extend(predictions_to_results(record["video_id"], preds))
+        for o in record["annotations"]:
+            gt_annotations.append(
+                {
+                    "video_id": record["video_id"],
+                    "category_id": o["category_id"] + 1,
+                    "segmentations": o["segmentations"],
+                }
+            )
+    elapsed = time.perf_counter() - start
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "results.json"), "w") as f:
+            json.dump(results, f)
+
+    metrics = evaluate_vis(gt_annotations, results, use_cats=False)
+    metrics["eval_seconds"] = elapsed
+    total_frames = sum(d["length"] for d in dicts)
+    metrics["frames_per_second"] = total_frames / elapsed if elapsed else 0.0
+    return metrics

@@ -40,19 +40,22 @@ def _interleave_sin_cos(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def position_embedding_sine_2d(h: int, w: int, num_pos_feats: int, dtype=jnp.float32):
-    """(H, W, 2*num_pos_feats) sine embedding, channels = [y-block | x-block]."""
+def _sine_2d_np(h: int, w: int, num_pos_feats: int) -> np.ndarray:
     y = _axis_embed(h)
     x = _axis_embed(w)
     freq = _freq(num_pos_feats)
     pos_y = _interleave_sin_cos(y[:, None, None] / freq)  # (H, 1, F)
     pos_x = _interleave_sin_cos(x[None, :, None] / freq)  # (1, W, F)
-    pos = np.concatenate(
+    return np.concatenate(
         [np.broadcast_to(pos_y, (h, w, num_pos_feats)),
          np.broadcast_to(pos_x, (h, w, num_pos_feats))],
         axis=-1,
     )
-    return jnp.asarray(pos, dtype=dtype)
+
+
+def position_embedding_sine_2d(h: int, w: int, num_pos_feats: int, dtype=jnp.float32):
+    """(H, W, 2*num_pos_feats) sine embedding, channels = [y-block | x-block]."""
+    return jnp.asarray(_sine_2d_np(h, w, num_pos_feats), dtype=dtype)
 
 
 def position_embedding_sine_3d(
@@ -63,7 +66,7 @@ def position_embedding_sine_3d(
     pos = concat(pos_y, pos_x) + pos_z, where pos_z uses a frequency table
     of width 2*num_pos_feats spanning the whole channel axis.
     """
-    spatial = np.asarray(position_embedding_sine_2d(h, w, num_pos_feats, jnp.float32))
+    spatial = _sine_2d_np(h, w, num_pos_feats)
     z = _axis_embed(t)
     freq_z = _freq(2 * num_pos_feats)
     pos_z = _interleave_sin_cos(z[:, None] / freq_z)  # (T, 2F)

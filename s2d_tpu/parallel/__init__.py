@@ -1,0 +1,15 @@
+from .mesh import (
+    batch_sharding,
+    create_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "create_mesh",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

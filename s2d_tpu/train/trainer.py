@@ -1,0 +1,225 @@
+"""KD train step: student + EMA teacher, one jit, data-parallel over a mesh.
+
+TPU-native rebuild of the reference's training loop (`/root/reference/
+model_training/mask2former_video/engine/train_loop.py:637-830` +
+`kd_video_maskformer_model.py:237-326`). One jit-compiled step does what the
+reference spreads across CustomAMPTrainer / KDVideoMaskFormer / EMA hooks:
+
+  1. student forward on the clip batch (bf16 compute, fp32 pixel decoder)
+  2. teacher forward under stop_gradient
+  3. supervised criterion vs sparse keymask targets
+  4. distillation targets built ON DEVICE from the teacher's own predictions
+     (top-k + score threshold, upsample x4, binarize) — reference
+     `prepare_distillation_targets:418-528`
+  5. second criterion pass -> kd_loss_* (losses renamed, weights applied)
+  6. AdamW (+ global-norm clip 0.01) on the student only
+  7. EMA teacher update folded into the same step (no separate no_grad pass)
+  8. NaN-loss skip: non-finite total loss zeroes the gradients
+     (reference train_loop.py:717-721 skips backward on NaN)
+
+Data parallelism: the step is written over the GLOBAL batch; under jit with
+a sharded batch (parallel/mesh.py) XLA partitions it over the data axis and
+inserts the gradient psums — the TPU equivalent of DDP allreduce.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..losses.criterion import CriterionConfig, set_criterion
+from ..models.meta_arch import VideoMaskFormer, build_model
+from ..ops.resize import interpolate_bilinear
+from .optim import build_optimizer
+from .schedules import ema_momentum_schedule, loss_weight_factors
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any  # student
+    teacher_params: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class LossWeights:
+    class_weight: float = 0.0
+    mask_weight: float = 5.0
+    dice_weight: float = 5.0
+    kd_class_weight: float = 0.0
+    kd_mask_weight: float = 5.0
+    kd_dice_weight: float = 5.0
+
+
+def prepare_distillation_targets(
+    teacher_out: Dict[str, jnp.ndarray],
+    score_threshold: float,
+    pad_hw: Tuple[int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher predictions -> fixed-shape distillation targets.
+
+    Returns (masks (B, Q, T, H, W) bool, valid (B, Q) bool). The reference
+    takes top `num_predictions_distillation`=Q (all queries) then applies the
+    score threshold; with k == Q the top-k is the identity, so validity is
+    just the threshold test."""
+    logits = teacher_out["pred_logits"]
+    masks = teacher_out["pred_masks"]
+    scores = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., :-1].max(-1)
+    valid = scores >= score_threshold
+    up = interpolate_bilinear(masks.astype(jnp.float32), pad_hw)
+    return up > 0.0, valid
+
+
+def weighted_total(
+    losses: Dict[str, jnp.ndarray],
+    weights: LossWeights,
+    kd: bool,
+    factor: jnp.ndarray,
+) -> jnp.ndarray:
+    """Apply the weight_dict (same weight for aux copies) and sum."""
+    if kd:
+        table = {
+            "loss_ce": weights.kd_class_weight,
+            "loss_mask": weights.kd_mask_weight,
+            "loss_dice": weights.kd_dice_weight,
+        }
+    else:
+        table = {
+            "loss_ce": weights.class_weight,
+            "loss_mask": weights.mask_weight,
+            "loss_dice": weights.dice_weight,
+        }
+    total = jnp.asarray(0.0, jnp.float32)
+    for key, value in losses.items():
+        base = key.rsplit("_", 1)[0] if key.split("_")[-1].isdigit() else key
+        total = total + table[base] * value.astype(jnp.float32) * factor
+    return total
+
+
+def make_train_step(model: VideoMaskFormer, cfg: Config, tx: optax.GradientTransformation):
+    mf = cfg.model.mask_former
+    crit_cfg = CriterionConfig(
+        num_classes=cfg.model.sem_seg_head.num_classes,
+        eos_coef=mf.no_object_weight,
+        cost_class=mf.class_weight,
+        cost_mask=mf.mask_weight,
+        cost_dice=mf.dice_weight,
+        num_points=mf.train_num_points,
+        oversample_ratio=mf.oversample_ratio,
+        importance_sample_ratio=mf.importance_sample_ratio,
+        masks_only=mf.loss_strategy == "masks-only",
+    )
+    kd_crit_cfg = dataclasses.replace(
+        crit_cfg, masks_only=mf.distillation_loss_strategy == "masks-only"
+    )
+    weights = LossWeights(
+        class_weight=mf.class_weight,
+        mask_weight=mf.mask_weight,
+        dice_weight=mf.dice_weight,
+        kd_class_weight=mf.kd_class_weight,
+        kd_mask_weight=mf.kd_mask_weight,
+        kd_dice_weight=mf.kd_dice_weight,
+    )
+    factors_fn = loss_weight_factors(cfg, cfg.solver.max_iter)
+    ema_fn = ema_momentum_schedule(cfg)
+    kd_enabled = cfg.model.meta_architecture == "KDVideoMaskFormer"
+
+    def train_step(
+        state: TrainState,
+        images: jnp.ndarray,  # (B, T, H, W, 3) normalized + padded
+        tgt_masks: jnp.ndarray,  # (B, N, T, H, W) bool
+        tgt_valid: jnp.ndarray,  # (B, N) bool
+        rng: jax.Array,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        pad_hw = images.shape[2:4]
+        sup_factor, kd_factor = factors_fn(state.step)
+        rng_step = jax.random.fold_in(rng, state.step)
+        k_drop, k_sup, k_kd = jax.random.split(rng_step, 3)
+
+        if kd_enabled:
+            teacher_out = model.apply(state.teacher_params, images)
+            teacher_out = jax.lax.stop_gradient(teacher_out)
+            kd_masks, kd_valid = prepare_distillation_targets(
+                teacher_out, mf.score_threshold_distillation, pad_hw
+            )
+
+        def loss_fn(params):
+            out = model.apply(
+                params, images, deterministic=False, rngs={"dropout": k_drop}
+            )
+            sup_losses = set_criterion(
+                k_sup, out, tgt_masks, tgt_valid, crit_cfg,
+                compute_labels_loss=True,
+            )
+            total = weighted_total(sup_losses, weights, kd=False, factor=sup_factor)
+            metrics = {k: v for k, v in sup_losses.items() if "_" not in k[5:]}
+            if kd_enabled:
+                kd_losses = set_criterion(
+                    k_kd, out, kd_masks, kd_valid, kd_crit_cfg,
+                    compute_labels_loss=True,
+                )
+                total = total + weighted_total(
+                    kd_losses, weights, kd=True, factor=kd_factor
+                )
+                metrics.update(
+                    {f"kd_{k}": v for k, v in kd_losses.items() if "_" not in k[5:]}
+                )
+            metrics["total_loss"] = total
+            return total, metrics
+
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        # NaN-loss skip
+        finite = jnp.isfinite(total)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        if kd_enabled:
+            m = ema_fn(state.step)
+            teacher_params = jax.tree_util.tree_map(
+                lambda t, s: m * t + (1.0 - m) * s.astype(t.dtype),
+                state.teacher_params,
+                params,
+            )
+        else:
+            teacher_params = state.teacher_params
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            teacher_params=teacher_params,
+            opt_state=opt_state,
+        )
+        metrics["grad_finite"] = finite.astype(jnp.float32)
+        return new_state, metrics
+
+    return train_step
+
+
+def create_train_state(
+    cfg: Config, rng: jax.Array, sample_images: jnp.ndarray, params=None
+) -> Tuple[VideoMaskFormer, TrainState, optax.GradientTransformation]:
+    """Build model, init/convert params, optimizer, and the initial state."""
+    model = build_model(cfg)
+    if params is None:
+        params = model.init(rng, sample_images)
+    # optimizer state spans the full variables dict (labels see the
+    # leading "params" level; the rules only look at relative names)
+    tx = build_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        teacher_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=opt_state,
+    )
+    return model, state, tx

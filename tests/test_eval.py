@@ -1,0 +1,81 @@
+"""Spatio-temporal AP evaluation tests (synthetic tracks)."""
+import numpy as np
+import pytest
+
+from s2d_tpu.data import rle
+from s2d_tpu.evaluation.ytvos_eval import evaluate_vis, iou_seq
+
+
+def _track(h, w, t, y0, x0, size):
+    segs = []
+    for _ in range(t):
+        m = np.zeros((h, w), bool)
+        m[y0 : y0 + size, x0 : x0 + size] = True
+        segs.append(rle.encode(m))
+    return segs
+
+
+def test_iou_seq():
+    a = _track(32, 32, 2, 4, 4, 8)
+    b = _track(32, 32, 2, 4, 4, 8)
+    assert iou_seq(a, b) == pytest.approx(1.0)
+    c = _track(32, 32, 2, 4, 8, 8)  # half-overlap in x
+    assert iou_seq(a, c) == pytest.approx(1.0 / 3.0)
+    # None frames count as empty
+    a_gap = [a[0], None]
+    assert iou_seq(a_gap, b) == pytest.approx(0.5)
+
+
+def test_perfect_predictions_ap1():
+    gts, dts = [], []
+    for vid in (1, 2):
+        for inst in range(2):
+            segs = _track(64, 64, 3, 8 + inst * 24, 8, 12)
+            gts.append({"video_id": vid, "category_id": 1, "segmentations": segs})
+            dts.append(
+                {"video_id": vid, "category_id": 1, "score": 0.9, "segmentations": segs}
+            )
+    metrics = evaluate_vis(gts, dts)
+    assert metrics["AP"] == pytest.approx(1.0)
+    assert metrics["AP50"] == pytest.approx(1.0)
+    assert metrics["AR100"] == pytest.approx(1.0)
+
+
+def test_missed_instance_lowers_ap():
+    gts, dts = [], []
+    for inst in range(2):
+        segs = _track(64, 64, 3, 8 + inst * 24, 8, 12)
+        gts.append({"video_id": 1, "category_id": 1, "segmentations": segs})
+        if inst == 0:
+            dts.append(
+                {"video_id": 1, "category_id": 1, "score": 0.9, "segmentations": segs}
+            )
+    metrics = evaluate_vis(gts, dts)
+    assert 0.4 < metrics["AP"] < 0.6
+
+
+def test_false_positive_lowers_precision():
+    segs = _track(64, 64, 3, 8, 8, 12)
+    far = _track(64, 64, 3, 40, 40, 12)
+    gts = [{"video_id": 1, "category_id": 1, "segmentations": segs}]
+    dts = [
+        {"video_id": 1, "category_id": 1, "score": 0.9, "segmentations": segs},
+        {"video_id": 1, "category_id": 1, "score": 0.95, "segmentations": far},
+    ]
+    metrics = evaluate_vis(gts, dts)
+    # higher-scored FP ranked first: precision at recall 1 is 0.5
+    assert metrics["AP"] < 1.0
+    assert metrics["AR100"] == pytest.approx(1.0)
+
+
+def test_localization_quality_graded():
+    """A prediction with IoU ~0.6 counts at low thresholds only."""
+    gt = _track(64, 64, 2, 10, 10, 20)
+    # shifted by 5 px: IoU = (15*20)/(2*20*20-15*20) = 0.6
+    shifted = _track(64, 64, 2, 15, 10, 20)
+    gts = [{"video_id": 1, "category_id": 1, "segmentations": gt}]
+    dts = [{"video_id": 1, "category_id": 1, "score": 0.9, "segmentations": shifted}]
+    metrics = evaluate_vis(gts, dts)
+    assert metrics["AP50"] == pytest.approx(1.0)
+    assert metrics["AP75"] == pytest.approx(0.0)
+    assert 0.0 < metrics["AP"] < 0.5

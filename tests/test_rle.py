@@ -1,0 +1,59 @@
+"""RLE codec: round-trip, golden values, area/bbox."""
+import numpy as np
+import pytest
+
+from s2d_tpu.data import rle
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("shape", [(7, 5), (32, 17), (1, 1), (64, 64)])
+def test_roundtrip(seed, shape):
+    rng = np.random.RandomState(seed)
+    mask = rng.rand(*shape) > 0.5
+    enc = rle.encode(mask)
+    dec = rle.decode(enc)
+    np.testing.assert_array_equal(dec, mask)
+
+
+def test_roundtrip_extremes():
+    for mask in [np.zeros((4, 6), bool), np.ones((4, 6), bool)]:
+        np.testing.assert_array_equal(rle.decode(rle.encode(mask)), mask)
+
+
+def test_counts_column_major():
+    # column-major: mask[:, 0] runs first
+    mask = np.array([[1, 0], [1, 0]], dtype=bool)
+    counts = rle.mask_to_counts(mask)
+    # column 0 = [1,1], column 1 = [0,0] -> runs: 0 zeros, 2 ones, 2 zeros
+    np.testing.assert_array_equal(counts, [0, 2, 2])
+
+
+def test_string_codec_golden():
+    """Golden value from the COCO spec: counts [0, 5, 2] encode via the
+    signed base-32 varint with difference coding from index 2 on."""
+    counts = [0, 5, 2]
+    s = rle.counts_to_string(counts)
+    assert rle.string_to_counts(s) == counts
+    # difference coding: third element stored as 2 - 0 = 2
+    counts2 = [3, 1, 4, 1, 5, 9, 2, 6]
+    assert rle.string_to_counts(rle.counts_to_string(counts2)) == counts2
+    # large counts exercise multi-char varints
+    counts3 = [100000, 1, 999999]
+    assert rle.string_to_counts(rle.counts_to_string(counts3)) == counts3
+
+
+def test_area_and_bbox():
+    mask = np.zeros((10, 12), bool)
+    mask[2:5, 3:9] = True
+    enc = rle.encode(mask)
+    assert rle.area(enc) == 3 * 6
+    assert rle.to_bbox(enc) == [3.0, 2.0, 6.0, 3.0]
+
+
+def test_polygons_to_mask():
+    # a filled axis-aligned square
+    poly = [[2.0, 2.0, 8.0, 2.0, 8.0, 8.0, 2.0, 8.0]]
+    mask = rle.polygons_to_mask(poly, 12, 12)
+    assert mask[5, 5]
+    assert not mask[0, 0]
+    assert 36 <= mask.sum() <= 49

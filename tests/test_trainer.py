@@ -1,0 +1,142 @@
+"""Trainer tests: schedules, param labeling, one KD train step end-to-end
+on a tiny model, EMA update, NaN-skip."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2d_tpu.config import Config, load_config
+from s2d_tpu.models.meta_arch import VideoMaskFormer
+from s2d_tpu.train import (
+    TrainState,
+    build_optimizer,
+    ema_momentum_schedule,
+    label_params,
+    loss_weight_factors,
+    make_train_step,
+    warmup_multistep_lr,
+)
+
+
+def test_lr_schedule():
+    sched = warmup_multistep_lr(1.0, steps=(100, 200), gamma=0.1, warmup_iters=10, warmup_factor=0.5)
+    assert float(sched(0)) == pytest.approx(0.5)
+    assert float(sched(10)) == pytest.approx(1.0)
+    assert float(sched(150)) == pytest.approx(0.1)
+    assert float(sched(250)) == pytest.approx(0.01)
+
+
+def test_loss_weight_factors_linear():
+    cfg = load_config(None, opts=[
+        "MODEL.MASK_FORMER.KD_WEIGHT_SCHEDULER", "linear",
+        "MODEL.MASK_FORMER.KD_WEIGHT_DECAY_START", "0.0",
+        "MODEL.MASK_FORMER.KD_WEIGHT_DECAY_END", "100.0",
+        "MODEL.MASK_FORMER.SUPERVISED_MIN_WEIGHT", "0.1",
+        "MODEL.MASK_FORMER.KD_MIN_WEIGHT", "0.2",
+    ])
+    f = loss_weight_factors(cfg, max_iter=100)
+    sup0, kd0 = f(0)
+    assert float(sup0) == pytest.approx(1.0)
+    assert float(kd0) == pytest.approx(0.2)
+    sup1, kd1 = f(100)
+    assert float(sup1) == pytest.approx(0.1)
+    assert float(kd1) == pytest.approx(1.0)
+
+
+def test_ema_momentum_schedule():
+    cfg = load_config(None, opts=[
+        "MODEL.MASK_FORMER.EMA_MOMENTUM_SCHEDULE", "True",
+        "MODEL.MASK_FORMER.EMA_MOMENTUM", "0.99",
+        "MODEL.MASK_FORMER.EMA_MOMENTUM_END", "0.999",
+        "MODEL.MASK_FORMER.EMA_MOMENTUM_UNTIL_STEP", "1000",
+    ])
+    m = ema_momentum_schedule(cfg)
+    assert float(m(0)) == pytest.approx(0.99)
+    assert float(m(1000)) == pytest.approx(0.999)
+    assert 0.99 < float(m(500)) < 0.999
+
+
+def _tiny_cfg():
+    return load_config(None, opts=[
+        "MODEL.MASK_FORMER.HIDDEN_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.MASK_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.CONVS_DIM", "32",
+        "MODEL.MASK_FORMER.NUM_OBJECT_QUERIES", "8",
+        "MODEL.MASK_FORMER.NHEADS", "4",
+        "MODEL.MASK_FORMER.DIM_FEEDFORWARD", "64",
+        "MODEL.MASK_FORMER.DEC_LAYERS", "2",
+        "MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS", "1",
+        "MODEL.MASK_FORMER.TRAIN_NUM_POINTS", "64",
+        "SOLVER.AMP.ENABLED", "False",
+    ])
+
+
+def _tiny_model(cfg):
+    mf = cfg.model.mask_former
+    return VideoMaskFormer(
+        num_classes=1, hidden_dim=mf.hidden_dim, mask_dim=32,
+        num_queries=mf.num_object_queries, nheads=mf.nheads,
+        dim_feedforward=mf.dim_feedforward, dec_layers=mf.dec_layers,
+        transformer_enc_layers=1, compute_dtype=jnp.float32,
+    )
+
+
+def test_label_params():
+    cfg = _tiny_cfg()
+    model = _tiny_model(cfg)
+    x = jnp.zeros((1, 2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    labels = label_params(params)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    by_label = {}
+    for path, l in flat:
+        by_label.setdefault(l, []).append("/".join(str(p) for p in path))
+    assert "frozen" in by_label  # backbone FrozenBN
+    assert any("query_feat" in p for p in by_label["head_nodecay"])
+    assert any("stem_conv1" in p for p in by_label["backbone_decay"])
+    # decoder LayerNorms are nodecay
+    assert any("cross_norm" in p for p in by_label["head_nodecay"])
+
+
+def test_kd_train_step_runs_and_updates():
+    cfg = _tiny_cfg()
+    model = _tiny_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    b, t, h, w, n = 1, 2, 32, 32, 3
+    images = jax.random.normal(rng, (b, t, h, w, 3))
+    params = model.init(rng, images)
+    tx = build_optimizer(cfg, params)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        teacher_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=tx.init(params),
+    )
+    masks = jax.random.uniform(jax.random.PRNGKey(1), (b, n, t, h, w)) > 0.7
+    valid = jnp.asarray([[True, True, False]])
+
+    step_fn = jax.jit(make_train_step(model, cfg, tx))
+    new_state, metrics = step_fn(state, images, masks, valid, jax.random.PRNGKey(2))
+
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["grad_finite"]) == 1.0
+    assert "kd_loss_mask" in metrics
+
+    # student params changed; frozen BN did not
+    old_kernel = params["params"]["predictor"]["class_embed"]["kernel"]
+    new_kernel = new_state.params["params"]["predictor"]["class_embed"]["kernel"]
+    assert not np.allclose(np.asarray(old_kernel), np.asarray(new_kernel))
+    old_bn = params["params"]["backbone"]["stem_norm1"]["scale"]
+    new_bn = new_state.params["params"]["backbone"]["stem_norm1"]["scale"]
+    np.testing.assert_array_equal(np.asarray(old_bn), np.asarray(new_bn))
+
+    # teacher moved toward student by (1 - m)
+    m = float(cfg.model.mask_former.ema_momentum)
+    t_old = np.asarray(params["params"]["predictor"]["class_embed"]["kernel"])
+    t_new = np.asarray(new_state.teacher_params["params"]["predictor"]["class_embed"]["kernel"])
+    s_new = np.asarray(new_kernel)
+    np.testing.assert_allclose(t_new, m * t_old + (1 - m) * s_new, rtol=1e-5, atol=1e-7)

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Video inference demo — CLI surface of the reference's
+`demo_video/demo.py` (`/root/reference/model_training/demo_video/demo.py`):
+
+  python tools/demo_video.py --config-file cfg.yaml --input 'frames/*.jpg' \
+      --output out/ [--confidence-threshold 0.8] [--save-masks] [opts ...]
+
+Whole clip in ONE jit forward (as the reference, demo.py:162-163), top-k +
+NMS post-processing, per-frame overlay PNGs with stable per-instance colors
+and optional palette mask export (demo.py:119-127).
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# stable instance palette (RGB), as the reference's TrackVisualizer intent
+PALETTE = [
+    (220, 20, 60), (0, 82, 0), (119, 11, 32), (0, 0, 142), (0, 0, 230),
+    (106, 0, 228), (0, 60, 100), (0, 80, 100), (0, 0, 70), (250, 170, 30),
+    (100, 170, 30), (220, 220, 0), (175, 116, 175), (250, 0, 30),
+    (165, 42, 42), (255, 77, 255), (0, 226, 252), (182, 182, 255),
+]
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="s2d_tpu video demo")
+    parser.add_argument("--config-file", default="")
+    parser.add_argument("--input", required=True,
+                        help="glob of frame JPEGs (sorted) for one video")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--confidence-threshold", type=float, default=0.8)
+    parser.add_argument("--weights", default="")
+    parser.add_argument("--save-frames", action="store_true")
+    parser.add_argument("--save-masks", action="store_true")
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from s2d_tpu.config import load_config
+    from s2d_tpu.checkpoint import load_reference_model
+    from s2d_tpu.data.augment import resize_shortest_edge
+    from s2d_tpu.evaluation.inference import finalize_predictions, postprocess_video
+    from s2d_tpu.models import build_model, preprocess_clip
+
+    cfg = load_config(args.config_file or None, args.opts)
+    os.makedirs(args.output, exist_ok=True)
+
+    files = sorted(glob.glob(args.input))
+    assert files, f"no frames match {args.input!r}"
+    raw = [cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2RGB) for f in files]
+    oh, ow = raw[0].shape[:2]
+    nh, nw = resize_shortest_edge(oh, ow, cfg.input.min_size_test, cfg.input.max_size_test)
+    frames = np.stack([
+        cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR) for f in raw
+    ]).astype(np.float32)
+
+    model = build_model(cfg)
+    weights = args.weights or cfg.model.weights
+    if weights and os.path.exists(weights):
+        variables = load_reference_model(
+            weights,
+            which="student" if cfg.model.mask_former.test.eval_student else "teacher",
+        )
+    else:
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, nh, nw, 3)))
+        if weights:
+            print(f"WARNING: weights {weights!r} not found; random init")
+
+    images, (h, w) = preprocess_clip(frames, cfg.model.pixel_mean, cfg.model.pixel_std)
+    tcfg = cfg.model.mask_former.test
+
+    start = time.perf_counter()
+    out = jax.jit(model.apply)(variables, images)
+    device_out = postprocess_video(
+        out["pred_logits"][0], out["pred_masks"][0],
+        num_predictions=tcfg.num_predictions,
+        num_classes=cfg.model.sem_seg_head.num_classes,
+        image_size=(h, w), output_size=(oh, ow),
+        use_nms=tcfg.use_nms, nms_thresh=tcfg.nms_thresh,
+    )
+    preds = finalize_predictions(device_out)
+    elapsed = time.perf_counter() - start
+
+    keep = preds["scores"] >= args.confidence_threshold
+    scores, masks = preds["scores"][keep], preds["masks"][keep]
+    print(f"detected {len(scores)} instances per frame in {elapsed:.2f}s")
+
+    for ti, frame in enumerate(raw):
+        overlay = frame.astype(np.float32)
+        for ni in range(len(scores)):
+            color = np.asarray(PALETTE[ni % len(PALETTE)], np.float32)
+            m = masks[ni, ti]
+            overlay[m] = 0.5 * overlay[m] + 0.5 * color
+        out_path = os.path.join(args.output, f"frame_{ti:05d}.png")
+        cv2.imwrite(out_path, cv2.cvtColor(overlay.astype(np.uint8), cv2.COLOR_RGB2BGR))
+        if args.save_masks:
+            idmap = np.zeros(frame.shape[:2], np.uint8)
+            for ni in range(len(scores) - 1, -1, -1):
+                idmap[masks[ni, ti]] = ni + 1
+            palette_img = np.zeros((*frame.shape[:2], 3), np.uint8)
+            for ni in range(len(scores)):
+                palette_img[idmap == ni + 1] = PALETTE[ni % len(PALETTE)]
+            cv2.imwrite(
+                os.path.join(args.output, f"mask_{ti:05d}.png"),
+                cv2.cvtColor(palette_img, cv2.COLOR_RGB2BGR),
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

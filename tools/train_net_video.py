@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Main trainer/evaluator entry — CLI surface of the reference's
+`train_net_video.py` (`/root/reference/model_training/train_net_video.py`):
+
+  python tools/train_net_video.py --config-file cfg.yaml [--eval-only]
+      [--resume] [--num-chips N] [opts KEY VALUE ...]
+
+Differences from the reference, by design: no process spawning
+(`--num-gpus` -> jax sees all local chips through one process; multi-host
+runs use jax.distributed and the same script on every host), AMP -> bf16
+compute dtype, DDP -> data-axis mesh sharding.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="s2d_tpu video trainer")
+    parser.add_argument("--config-file", default="", metavar="FILE")
+    parser.add_argument("--eval-only", action="store_true")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--max-videos", type=int, default=None,
+                        help="cap eval videos (debug)")
+    parser.add_argument("--weights", default="", help=".pth/.pkl to convert-load")
+    parser.add_argument(
+        "opts", nargs=argparse.REMAINDER, default=[],
+        help="config overrides: KEY VALUE pairs",
+    )
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from s2d_tpu.config import load_config
+    from s2d_tpu.checkpoint import load_reference_model, save_checkpoint
+    from s2d_tpu.data import ClipMapper, MapperConfig, get_dataset, train_loader
+    from s2d_tpu.evaluation.evaluator import evaluate_dataset
+    from s2d_tpu.models import build_model
+    from s2d_tpu.parallel import create_mesh, replicate, shard_batch
+    from s2d_tpu.train import TrainState, build_optimizer, make_train_step
+    from s2d_tpu.utils.events import MetricLogger
+
+    cfg = load_config(args.config_file or None, args.opts)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(max(cfg.seed, 0))
+
+    weights = args.weights or cfg.model.weights
+    if weights and os.path.exists(weights):
+        student = load_reference_model(weights, which="student")
+        teacher = load_reference_model(weights, which="teacher")
+        print(f"Loaded reference checkpoint {weights}")
+    else:
+        sample = jnp.zeros((1, cfg.input.sampling_frame_num, 64, 64, 3))
+        student = model.init(rng, sample)
+        teacher = jax.tree_util.tree_map(np.copy, student)
+        if weights:
+            print(f"WARNING: weights {weights!r} not found; random init")
+
+    if args.eval_only:
+        eval_vars = student if cfg.model.mask_former.test.eval_student else teacher
+        for dataset_name in cfg.datasets.test:
+            metrics = evaluate_dataset(
+                cfg, model, eval_vars, dataset_name,
+                output_dir=cfg.output_dir, max_videos=args.max_videos,
+            )
+            print(f"[{dataset_name}] " + "  ".join(
+                f"{k}: {v:.4f}" for k, v in metrics.items()
+            ))
+        return 0
+
+    # ---- training ----
+    mesh = create_mesh()
+    tx = build_optimizer(cfg, student)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=student,
+        teacher_params=teacher,
+        opt_state=tx.init(student),
+    )
+    step_fn = jax.jit(make_train_step(model, cfg, tx))
+
+    dicts = []
+    for name in cfg.datasets.train:
+        d, _ = get_dataset(name)
+        dicts.extend(d)
+    mapper = ClipMapper(MapperConfig.from_config(cfg, is_train=True),
+                        is_train=True, seed=max(cfg.seed, 0))
+    loader = train_loader(
+        dicts, mapper, cfg.solver.ims_per_batch,
+        cfg.model.pixel_mean, cfg.model.pixel_std,
+        seed=max(cfg.seed, 0),
+        num_shards=jax.process_count(), shard_index=jax.process_index(),
+    )
+
+    logger = MetricLogger(cfg.output_dir)
+    train_rng = jax.random.PRNGKey(max(cfg.seed, 0) + 1)
+    with mesh:
+        state = replicate(mesh, state)
+        for it, batch in enumerate(loader):
+            if it >= cfg.solver.max_iter:
+                break
+            images, masks, valid = shard_batch(
+                mesh, (batch["images"], batch["masks"], batch["valid"])
+            )
+            state, metrics = step_fn(state, images, masks, valid, train_rng)
+            logger.log(it, {k: float(v) for k, v in metrics.items()})
+            if (it + 1) % 5000 == 0 or (it + 1) == cfg.solver.max_iter:
+                save_checkpoint(
+                    os.path.join(cfg.output_dir, "checkpoints"), it + 1, state
+                )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
