@@ -101,26 +101,30 @@ def _bilinear(img, xs, ys):
 
 
 def _match_step(img_prev, img_next, pts, patch, search, levels):
-    """One frame transition for all points: returns (new_pts, corr)."""
+    """One frame transition for all points: returns (new_pts, corr).
 
-    def match_at_scale(img_p, img_n, pts_s, radius, step):
-        template = _extract_patches(img_p, pts_s, patch)  # (P, k, k)
+    The template is extracted ONCE at the original point in the previous
+    frame; both search stages (coarse stride-2, then fine stride-1 around
+    the coarse winner) correlate candidate patches of the next frame
+    against that same template."""
+    template = _extract_patches(img_prev, pts, patch)  # (P, k, k)
+
+    def search_stage(centers, radius, step):
         offsets = jnp.arange(-radius, radius + 1, step, dtype=jnp.float32)
         oy, ox = jnp.meshgrid(offsets, offsets, indexing="ij")
         cand = jnp.stack([ox.ravel(), oy.ravel()], -1)  # (C, 2)
 
         def corr_for_cand(off):
-            cp = _extract_patches(img_n, pts_s + off[None], patch)
+            cp = _extract_patches(img_next, centers + off[None], patch)
             return _ncc(template, cp)  # (P,)
 
         corrs = jax.vmap(corr_for_cand)(cand)  # (C, P)
         best = jnp.argmax(corrs, axis=0)  # (P,)
         best_corr = jnp.take_along_axis(corrs, best[None], axis=0)[0]
-        return pts_s + cand[best], best_corr
+        return centers + cand[best], best_corr
 
-    # coarse (stride 2), then fine (stride 1) around the coarse result
-    new_pts, _ = match_at_scale(img_prev, img_next, pts, search, 2)
-    new_pts, corr = match_at_scale(img_prev, img_next, new_pts, 2, 1)
+    new_pts, _ = search_stage(pts, search, 2)
+    new_pts, corr = search_stage(new_pts, 2, 1)
     return new_pts, corr
 
 

@@ -1,0 +1,154 @@
+"""Keymask discovery pipeline tests on a synthetic moving-square video."""
+import numpy as np
+import pytest
+
+from s2d_tpu.keymask import (
+    CorrelationTracker,
+    binarize_curves,
+    extract_visibility_curves,
+    grid_points_in_mask,
+    group_quality,
+    load_masks_from_color_png,
+    match_candidate,
+    match_matrix,
+    merge_video_jsons,
+    point_mask_iou,
+    temporal_correspondence_clustering,
+    visibility_windows,
+    write_annotation_for_video,
+    convert_results_to_annotations,
+)
+from s2d_tpu.data import rle
+
+
+def _make_video(t=5, h=64, w=96, speed=3, size=24):
+    """A textured square moving right over a textured background."""
+    rng = np.random.RandomState(0)
+    bg = rng.randint(0, 80, (h, w, 3), np.uint8)
+    patch = rng.randint(120, 255, (size, size, 3), np.uint8)
+    video = np.zeros((t, h, w, 3), np.uint8)
+    masks = np.zeros((t, h, w), bool)
+    y0 = (h - size) // 2
+    for fi in range(t):
+        frame = bg.copy()
+        x0 = 6 + fi * speed
+        frame[y0 : y0 + size, x0 : x0 + size] = patch
+        video[fi] = frame
+        masks[fi, y0 : y0 + size, x0 : x0 + size] = True
+    return video, masks
+
+
+def test_grid_points_in_mask():
+    mask = np.zeros((32, 32), bool)
+    mask[8:16, 8:16] = True
+    pts = grid_points_in_mask(mask, 16)
+    assert len(pts) > 4
+    assert (pts[:, 0] >= 7.5).all() and (pts[:, 0] <= 16).all()
+
+
+def test_tracker_follows_moving_square():
+    video, masks = _make_video()
+    tracker = CorrelationTracker()
+    pts = grid_points_in_mask(masks[0], 24)
+    tracks, vis = tracker.track(video, pts, query_frame=0)
+    assert tracks.shape == (5, len(pts), 2)
+    # points should move right by ~speed per frame (12 px over 4 frames)
+    dx = tracks[-1, :, 0] - tracks[0, :, 0]
+    assert np.median(dx) == pytest.approx(4 * 3, abs=3.0)
+    assert vis.mean() > 0.4
+
+
+def test_visibility_curves_and_windows():
+    video, masks = _make_video()
+    masks_per_frame = [{1: masks[fi]} for fi in range(len(video))]
+    tracker = CorrelationTracker()
+    records = extract_visibility_curves(video, masks_per_frame, tracker, grid_size=12)
+    assert len(records) == 5  # one per (frame, mask)
+    curves = np.asarray([r["visibility"] for r in records])
+    assert curves.shape == (5, 5)
+    assert curves.mean() > 0.4
+    windows = visibility_windows(curves, threshold=0.3, min_samples=2, eps=0.45)
+    assert windows, "expected at least one visibility window"
+    assert windows[0]["range"][0] == 0
+
+
+def test_point_mask_iou():
+    mask = np.zeros((32, 32), bool)
+    mask[10:20, 10:20] = True
+    inside = np.stack(np.meshgrid(np.arange(11, 19), np.arange(11, 19)), -1).reshape(-1, 2).astype(np.float32)
+    vis = np.ones(len(inside))
+    assert point_mask_iou(inside, vis, mask) > 0.5
+    outside = inside + 15
+    assert point_mask_iou(outside, vis, mask) < 0.2
+
+
+def test_matching_and_grouping():
+    video, masks = _make_video()
+    frame_masks = [{fi: masks[fi]} for fi in range(len(video))]  # overall id = frame
+    tracker = CorrelationTracker()
+    matches = [
+        match_candidate(video, tracker, masks[0], 0, frame_masks, 0.3),
+        match_candidate(video, tracker, masks[2], 2, frame_masks, 0.3),
+    ]
+    assert matches[0], "candidate should match some pseudo-masks"
+    mat = match_matrix(matches, list(range(5)))
+    labels = temporal_correspondence_clustering(mat)
+    groups = group_quality(mat, labels, frame_of_id=list(range(5)))
+    assert groups
+    assert groups[0]["coverage"] > 0.3
+    assert groups[0]["one2x"] == 0
+
+
+def test_color_png_to_masks():
+    png = np.zeros((16, 16, 3), np.uint8)
+    png[2:6, 2:6] = (255, 0, 0)
+    png[8:12, 8:12] = (0, 255, 0)
+    out = load_masks_from_color_png(png)
+    assert len(out) == 2
+    assert sum(m.sum() for m in out.values()) == 32
+
+
+def test_annotation_writer_and_merge(tmp_path):
+    import json
+
+    _, masks = _make_video(t=3)
+    groups = [{"group": 0, "one2x": 0, "coverage": 1.0}]
+    data = write_annotation_for_video(
+        video_id=7, file_names=["a.jpg", "b.jpg", "c.jpg"], height=48, width=64,
+        groups=groups, group_masks=[[masks[0], masks[1], None]],
+    )
+    ann = data["annotations"][0]
+    assert ann["segmentations"][2] is None
+    assert ann["areas"][0] == int(masks[0].sum())
+    decoded = rle.decode(ann["segmentations"][0])
+    np.testing.assert_array_equal(decoded, masks[0])
+
+    p1 = tmp_path / "v1.json"
+    p1.write_text(json.dumps(data))
+    noisy = write_annotation_for_video(
+        video_id=8, file_names=["x.jpg"], height=48, width=64,
+        groups=[{"group": 0, "one2x": 5, "coverage": 1.0}],
+        group_masks=[[masks[0]]],
+    )
+    p2 = tmp_path / "v2.json"
+    p2.write_text(json.dumps(noisy))
+
+    merged = merge_video_jsons([str(p1), str(p2)], one2x_threshold=2)
+    assert len(merged["videos"]) == 2
+    assert len(merged["annotations"]) == 1  # noisy track filtered
+    assert merged["annotations"][0]["video_id"] == 1  # renumbered
+
+
+def test_convert_results_to_annotations():
+    _, masks = _make_video(t=2)
+    segs = [rle.encode(masks[0]), rle.encode(masks[1])]
+    results = [
+        {"video_id": 1, "score": 0.9, "category_id": 1, "segmentations": segs},
+        {"video_id": 1, "score": 0.5, "category_id": 1, "segmentations": segs},
+    ]
+    gt_videos = [{"id": 1, "file_names": ["a", "b"], "height": 48, "width": 64}]
+    out = convert_results_to_annotations(results, gt_videos, score_threshold=0.75)
+    assert len(out["annotations"]) == 1  # low score filtered
+    ann = out["annotations"][0]
+    assert ann["areas"][0] == int(masks[0].sum())
+    assert ann["bboxes"][0] is not None
