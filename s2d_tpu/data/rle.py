@@ -20,11 +20,24 @@ from typing import Dict, List, Sequence, Union
 
 import numpy as np
 
+from .. import native as _native
+
 RLE = Dict[str, Union[List[int], str, bytes]]
+
+
+def rle_counts(r: RLE) -> np.ndarray:
+    """RLE dict -> int64 run counts (decoding the string form if needed)."""
+    counts = r["counts"]
+    if isinstance(counts, (str, bytes)):
+        counts = string_to_counts(counts)
+    return np.asarray(counts, np.int64)
 
 
 def mask_to_counts(mask: np.ndarray) -> np.ndarray:
     """(H, W) binary mask -> run-length counts (column-major)."""
+    native_counts = _native.encode_counts(mask)
+    if native_counts is not None:
+        return native_counts
     flat = np.asarray(mask, dtype=bool).reshape(-1, order="F")
     if flat.size == 0:
         return np.zeros(1, dtype=np.int64)
@@ -39,6 +52,9 @@ def counts_to_mask(counts: Sequence[int], h: int, w: int) -> np.ndarray:
     counts = np.asarray(counts, dtype=np.int64)
     total = int(counts.sum())
     assert total == h * w, f"rle covers {total}, expected {h * w}"
+    native_mask = _native.decode_counts(counts, h, w)
+    if native_mask is not None:
+        return native_mask
     flat = np.zeros(h * w, dtype=bool)
     ends = np.cumsum(counts)
     starts = ends - counts

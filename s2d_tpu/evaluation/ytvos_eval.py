@@ -26,6 +26,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from .. import native as _native
 from ..data import rle as rle_codec
 
 IOU_THRS = np.linspace(0.5, 0.95, 10)
@@ -52,6 +53,29 @@ def iou_seq(d_segs: Sequence, g_segs: Sequence) -> float:
         elif g is not None:
             union += rle_codec.area(g)
     return inter / union if union > 0 else 0.0
+
+
+def _track_ious(dts: List[dict], gts: List[dict]) -> np.ndarray:
+    """Pairwise spatio-temporal IoU, via the native run-merge kernel when
+    available (s2d_tpu/native), else the per-pair python path."""
+    t = max(len(x["segmentations"]) for x in list(dts) + list(gts))
+
+    def counts_track(x):
+        return [
+            rle_codec.rle_counts(s) if s is not None else None
+            for s in x["segmentations"]
+        ]
+
+    mat = _native.track_iou_matrix(
+        [counts_track(d) for d in dts], [counts_track(g) for g in gts], t
+    )
+    if mat is not None:
+        return mat
+    ious = np.zeros((len(dts), len(gts)))
+    for di, d in enumerate(dts):
+        for gi, g in enumerate(gts):
+            ious[di, gi] = iou_seq(d["segmentations"], g["segmentations"])
+    return ious
 
 
 def _avg_area(segs: Sequence) -> float:
@@ -92,10 +116,7 @@ def _evaluate_group(
     dt_ignore = np.zeros((t, d_n), dtype=bool)
 
     if d_n and g_n:
-        ious = np.zeros((d_n, g_n))
-        for di, d in enumerate(dts):
-            for gi, g in enumerate(gts):
-                ious[di, gi] = iou_seq(d["segmentations"], g["segmentations"])
+        ious = _track_ious(dts, gts)
         for ti, thr in enumerate(IOU_THRS):
             gt_taken = np.zeros(g_n, dtype=bool)
             for di in range(d_n):

@@ -1,0 +1,121 @@
+"""ctypes bindings for the native RLE ops, with auto-build + fallback.
+
+Exposes `lib()` (the loaded shared library or None) and high-level wrappers
+used by data/rle.py and evaluation/ytvos_eval.py. If the .so is missing we
+try one `g++` build; failing that, callers fall back to numpy paths.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "librle_ops.so")
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO,
+                 os.path.join(_DIR, "rle_ops.cpp")],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        cdll = ctypes.CDLL(_SO)
+        cdll.rle_encode.restype = ctypes.c_int64
+        cdll.rle_encode.argtypes = [_u8p, ctypes.c_int64, _i64p, ctypes.c_int64]
+        cdll.rle_decode.restype = None
+        cdll.rle_decode.argtypes = [_i64p, ctypes.c_int64, _u8p, ctypes.c_int64]
+        cdll.rle_area.restype = ctypes.c_int64
+        cdll.rle_area.argtypes = [_i64p, ctypes.c_int64]
+        cdll.rle_intersection.restype = ctypes.c_int64
+        cdll.rle_intersection.argtypes = [_i64p, ctypes.c_int64, _i64p, ctypes.c_int64]
+        cdll.track_iou_matrix.restype = None
+        cdll.track_iou_matrix.argtypes = [
+            _i64p, _i64p, _i64p, _i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _f64p,
+        ]
+        _LIB = cdll
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def encode_counts(mask: np.ndarray) -> Optional[np.ndarray]:
+    """(H, W) mask -> run counts via the native encoder (None if no lib)."""
+    cdll = lib()
+    if cdll is None:
+        return None
+    flat = np.ascontiguousarray(
+        np.asarray(mask, np.uint8).reshape(-1, order="F")
+    )
+    cap = flat.size + 2
+    out = np.empty(cap, np.int64)
+    k = cdll.rle_encode(flat, flat.size, out, cap)
+    if k < 0:
+        return None
+    return out[:k].copy()
+
+
+def decode_counts(counts: np.ndarray, h: int, w: int) -> Optional[np.ndarray]:
+    cdll = lib()
+    if cdll is None:
+        return None
+    counts = np.ascontiguousarray(np.asarray(counts, np.int64))
+    flat = np.empty(h * w, np.uint8)
+    cdll.rle_decode(counts, counts.size, flat, flat.size)
+    return flat.reshape(h, w, order="F").astype(bool)
+
+
+def _pack_tracks(tracks: Sequence[Sequence[Optional[np.ndarray]]]):
+    """tracks: per track, per frame run-count arrays (or None)."""
+    counts: List[np.ndarray] = []
+    offsets = [0]
+    for track in tracks:
+        for frame in track:
+            if frame is not None and len(frame):
+                counts.append(np.asarray(frame, np.int64))
+                offsets.append(offsets[-1] + len(frame))
+            else:
+                offsets.append(offsets[-1])
+    all_counts = (
+        np.concatenate(counts) if counts else np.zeros(0, np.int64)
+    )
+    return np.ascontiguousarray(all_counts), np.asarray(offsets, np.int64)
+
+
+def track_iou_matrix(
+    d_tracks: Sequence[Sequence[Optional[np.ndarray]]],
+    g_tracks: Sequence[Sequence[Optional[np.ndarray]]],
+    t: int,
+) -> Optional[np.ndarray]:
+    """Pairwise spatio-temporal IoU of detection vs gt run-count tracks."""
+    cdll = lib()
+    if cdll is None:
+        return None
+    d_counts, d_offsets = _pack_tracks(d_tracks)
+    g_counts, g_offsets = _pack_tracks(g_tracks)
+    d_n, g_n = len(d_tracks), len(g_tracks)
+    out = np.zeros(d_n * g_n, np.float64)
+    if d_n and g_n:
+        cdll.track_iou_matrix(
+            d_counts, d_offsets, g_counts, g_offsets, d_n, g_n, t, out
+        )
+    return out.reshape(d_n, g_n)

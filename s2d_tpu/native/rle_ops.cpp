@@ -1,0 +1,122 @@
+// Native RLE mask ops for s2d_tpu (C ABI, loaded via ctypes).
+//
+// The reference's native layer is its CUDA MSDeformAttn extension
+// (/root/reference/model_training/mask2former/modeling/pixel_decoder/ops/);
+// on TPU that op lives in Pallas/XLA. The framework's remaining native-code
+// hot path is HOST-side: COCO RLE encode/decode and pairwise track-IoU
+// dominate evaluation wall-time (results.json writing + spatio-temporal AP
+// on a single-core host). These kernels operate directly on run-length
+// data — intersections are computed by merging run lists without ever
+// materializing bitmaps.
+//
+// Build: see build.sh (g++ -O3 -shared -fPIC). Python bindings: ctypes in
+// s2d_tpu/native/__init__.py with a pure-numpy fallback when the .so is
+// absent.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Encode a column-major uint8 mask (h*w bytes, Fortran-flattened by the
+// caller) into run counts. Returns the number of counts written (<= cap).
+int64_t rle_encode(const uint8_t* flat, int64_t n, int64_t* counts, int64_t cap) {
+    int64_t k = 0;
+    uint8_t cur = 0;  // counts start with a zero-run
+    int64_t run = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t v = flat[i] != 0;
+        if (v == cur) {
+            ++run;
+        } else {
+            if (k >= cap) return -1;
+            counts[k++] = run;
+            cur = v;
+            run = 1;
+        }
+    }
+    if (k >= cap) return -1;
+    counts[k++] = run;
+    return k;
+}
+
+// Decode run counts into a column-major uint8 mask buffer of size n.
+void rle_decode(const int64_t* counts, int64_t k, uint8_t* flat, int64_t n) {
+    int64_t pos = 0;
+    uint8_t v = 0;
+    for (int64_t i = 0; i < k && pos < n; ++i) {
+        int64_t run = counts[i];
+        if (run > n - pos) run = n - pos;
+        if (v) memset(flat + pos, 1, (size_t)run);
+        else memset(flat + pos, 0, (size_t)run);
+        pos += run;
+        v ^= 1;
+    }
+    if (pos < n) memset(flat + pos, 0, (size_t)(n - pos));
+}
+
+// Total foreground area of a run list.
+int64_t rle_area(const int64_t* counts, int64_t k) {
+    int64_t a = 0;
+    for (int64_t i = 1; i < k; i += 2) a += counts[i];
+    return a;
+}
+
+// Intersection of two run lists over the same canvas (merge walk, no
+// bitmap). Returns |A & B|.
+int64_t rle_intersection(const int64_t* a, int64_t ka, const int64_t* b, int64_t kb) {
+    int64_t ia = 0, ib = 0;
+    int64_t pa = 0, pb = 0;         // absolute end of current run
+    uint8_t va = 0, vb = 0;         // current run values
+    int64_t ea = (ka > 0) ? a[0] : 0;
+    int64_t eb = (kb > 0) ? b[0] : 0;
+    int64_t pos = 0, inter = 0;
+    while (ia < ka && ib < kb) {
+        int64_t stop = (ea < eb) ? ea : eb;
+        if (va && vb) inter += stop - pos;
+        pos = stop;
+        if (ea == stop) { ++ia; va ^= 1; if (ia < ka) ea += a[ia]; }
+        if (eb == stop) { ++ib; vb ^= 1; if (ib < kb) eb += b[ib]; }
+    }
+    (void)pa; (void)pb;
+    return inter;
+}
+
+// Batched pairwise track IoU between D detection tracks and G ground-truth
+// tracks, each a sequence of T per-frame run lists (ragged, CSR-style):
+//   counts:  all runs concatenated
+//   offsets: (num_tracks * T + 1) prefix offsets into counts; a frame with
+//            offsets[i+1] == offsets[i] is an absent (empty) frame
+// Output: ious (D * G) spatio-temporal IoU (sum-inter / sum-union).
+void track_iou_matrix(
+    const int64_t* d_counts, const int64_t* d_offsets,
+    const int64_t* g_counts, const int64_t* g_offsets,
+    int64_t d_n, int64_t g_n, int64_t t, double* ious) {
+    // precompute per-frame areas
+    std::vector<int64_t> d_area((size_t)(d_n * t)), g_area((size_t)(g_n * t));
+    for (int64_t i = 0; i < d_n * t; ++i)
+        d_area[(size_t)i] = rle_area(d_counts + d_offsets[i], d_offsets[i + 1] - d_offsets[i]);
+    for (int64_t i = 0; i < g_n * t; ++i)
+        g_area[(size_t)i] = rle_area(g_counts + g_offsets[i], g_offsets[i + 1] - g_offsets[i]);
+
+    for (int64_t di = 0; di < d_n; ++di) {
+        for (int64_t gi = 0; gi < g_n; ++gi) {
+            int64_t inter = 0, uni = 0;
+            for (int64_t f = 0; f < t; ++f) {
+                int64_t doff = d_offsets[di * t + f], dlen = d_offsets[di * t + f + 1] - doff;
+                int64_t goff = g_offsets[gi * t + f], glen = g_offsets[gi * t + f + 1] - goff;
+                int64_t da = d_area[(size_t)(di * t + f)];
+                int64_t ga = g_area[(size_t)(gi * t + f)];
+                int64_t ix = 0;
+                if (dlen > 0 && glen > 0)
+                    ix = rle_intersection(d_counts + doff, dlen, g_counts + goff, glen);
+                inter += ix;
+                uni += da + ga - ix;
+            }
+            ious[di * g_n + gi] = uni > 0 ? (double)inter / (double)uni : 0.0;
+        }
+    }
+}
+
+}  // extern "C"
