@@ -20,6 +20,8 @@ import jax.numpy as jnp
 class MultiheadAttention(nn.Module):
     embed_dim: int
     num_heads: int
+    use_flash: bool = False  # stream keys through the Pallas flash kernel
+    # (forward-only: eval path; training uses the XLA einsum path)
 
     @nn.compact
     def __call__(
@@ -49,6 +51,19 @@ class MultiheadAttention(nn.Module):
         q = q.reshape(b, lq, h, d).transpose(0, 2, 1, 3)
         k = k.reshape(b, lk, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(b, lk, h, d).transpose(0, 2, 1, 3)
+
+        if self.use_flash and attn_mask is not None:
+            from ..ops.masked_attention_pallas import masked_cross_attention_flash
+
+            blocked = jnp.broadcast_to(attn_mask, (b, h, lq, lk))
+            out = masked_cross_attention_flash(
+                q.reshape(b * h, lq, d),
+                k.reshape(b * h, lk, d),
+                v.reshape(b * h, lk, d),
+                blocked.reshape(b * h, lq, lk),
+            )
+            out = out.reshape(b, h, lq, d).transpose(0, 2, 1, 3).reshape(b, lq, c)
+            return out @ out_w.T + out_b
 
         # torch scales q by d**-0.5 before the matmul
         logits = jnp.einsum("bhqd,bhkd->bhqk", q * (d ** -0.5), k)

@@ -39,6 +39,7 @@ class VideoMaskFormer(nn.Module):
     enc_dropout: float = 0.0
     backbone_depth: int = 50
     msda_impl: str = "xla"
+    flash_cross_attention: bool = False  # Pallas flash decoder attn (eval)
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -82,14 +83,21 @@ class VideoMaskFormer(nn.Module):
             dim_feedforward=self.dim_feedforward,
             dec_layers=self.dec_layers - 1,
             mask_dim=self.mask_dim,
+            flash_cross_attention=self.flash_cross_attention,
             name="predictor",
         )(ms_video, mask_features)
         return out
 
 
-def build_model(cfg: Config, msda_impl: str | None = None, compute_dtype=None) -> VideoMaskFormer:
+def build_model(
+    cfg: Config,
+    msda_impl: str | None = None,
+    compute_dtype=None,
+    flash_cross_attention: bool = False,
+) -> VideoMaskFormer:
     mf = cfg.model.mask_former
     return VideoMaskFormer(
+        flash_cross_attention=flash_cross_attention,
         num_classes=cfg.model.sem_seg_head.num_classes,
         hidden_dim=mf.hidden_dim,
         mask_dim=cfg.model.sem_seg_head.mask_dim,

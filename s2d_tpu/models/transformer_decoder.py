@@ -62,6 +62,7 @@ class VideoMaskedTransformerDecoder(nn.Module):
     dec_layers: int = 9  # cfg DEC_LAYERS - 1 (reference from_config:363)
     mask_dim: int = 256
     num_feature_levels: int = 3
+    flash_cross_attention: bool = False  # Pallas flash kernel (eval only)
 
     @nn.compact
     def __call__(
@@ -119,7 +120,10 @@ class VideoMaskedTransformerDecoder(nn.Module):
         for i in range(self.dec_layers):
             li = i % self.num_feature_levels
             # cross-attention first (Mask2Former ordering)
-            ca = MultiheadAttention(c, self.nheads, name=f"layer{i}_cross_attn")(
+            ca = MultiheadAttention(
+                c, self.nheads, use_flash=self.flash_cross_attention,
+                name=f"layer{i}_cross_attn",
+            )(
                 output + qpos,
                 srcs[li] + poses[li],
                 srcs[li],

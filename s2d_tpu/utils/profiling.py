@@ -1,0 +1,49 @@
+"""Profiling helpers: jax.profiler tracing + simple step timers.
+
+The reference's observability is an IterationTimer + data-time metric
+(`/root/reference/model_training/mask2former_video/engine/defaults.py:532`,
+`train_loop.py:597-605`). On TPU we additionally get kernel-level traces
+for free via jax.profiler (viewable in Perfetto/XProf).
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Iterator, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: Optional[str]) -> Iterator[None]:
+    """Capture a device trace into `logdir` (no-op when logdir is None)."""
+    if not logdir:
+        yield
+        return
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Wall-time per step with (data, compute) split, IterationTimer-style."""
+
+    def __init__(self):
+        self._t0 = time.perf_counter()
+        self.data_time = 0.0
+        self.step_time = 0.0
+
+    def data_done(self):
+        now = time.perf_counter()
+        self.data_time = now - self._t0
+        self._t1 = now
+
+    def step_done(self):
+        now = time.perf_counter()
+        self.step_time = now - self._t1
+        self._t0 = now
+
+    def metrics(self):
+        return {"data_time": self.data_time, "time": self.data_time + self.step_time}
