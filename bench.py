@@ -43,7 +43,7 @@ def main():
     images, (h, w) = preprocess_clip(
         frames, cfg.model.pixel_mean, cfg.model.pixel_std
     )
-    variables = model.init(rng, images[:, :1])
+    variables = jax.jit(model.init)(rng, images[:, :1])
 
     tcfg = cfg.model.mask_former.test
 

@@ -67,6 +67,10 @@ def evaluate_dataset(
 
     results: List[dict] = []
     gt_annotations: List[dict] = []
+    # jit is essential: un-jitted apply dispatches per-op over the device
+    # transport (recompiles per unique (T, H, W) — the compile cache
+    # amortizes across the few shape buckets a dataset has)
+    apply_jit = jax.jit(model.apply)
     start = time.perf_counter()
     for record in dicts:
         sample = mapper(record)
@@ -74,7 +78,7 @@ def evaluate_dataset(
             sample["image"], cfg.model.pixel_mean, cfg.model.pixel_std,
             cfg.model.mask_former.size_divisibility,
         )
-        out = model.apply(variables, images)
+        out = apply_jit(variables, images)
         device_out = postprocess_video(
             out["pred_logits"][0],
             out["pred_masks"][0],

@@ -28,7 +28,10 @@ import jax.numpy as jnp
 
 from ..ops.resize import interpolate_bilinear
 from .attention import MultiheadAttention
-from .position_encoding import position_embedding_sine_3d
+from .position_encoding import (
+    position_embedding_sine_2d,
+    position_embedding_sine_3d,
+)
 
 
 class FFN(nn.Module):
@@ -63,6 +66,7 @@ class VideoMaskedTransformerDecoder(nn.Module):
     mask_dim: int = 256
     num_feature_levels: int = 3
     flash_cross_attention: bool = False  # Pallas flash kernel (eval only)
+    pe_3d: bool = True  # False: image decoder (2D sine PE, T must be 1)
 
     @nn.compact
     def __call__(
@@ -89,7 +93,11 @@ class VideoMaskedTransformerDecoder(nn.Module):
             _, _, h, w, _ = feat.shape
             sizes.append((h, w))
             src = feat.reshape(b, t * h * w, c) + level_embed[i][None, None, :]
-            pe = position_embedding_sine_3d(t, h, w, c // 2, feat.dtype)
+            if self.pe_3d:
+                pe = position_embedding_sine_3d(t, h, w, c // 2, feat.dtype)
+            else:
+                assert t == 1, "2D positional encoding requires T == 1"
+                pe = position_embedding_sine_2d(h, w, c // 2, feat.dtype)[None]
             poses.append(jnp.broadcast_to(pe.reshape(1, t * h * w, c), src.shape))
             srcs.append(src)
 

@@ -76,7 +76,7 @@ def main(argv=None):
             which="student" if cfg.model.mask_former.test.eval_student else "teacher",
         )
     else:
-        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, nh, nw, 3)))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 1, nh, nw, 3)))
         if weights:
             print(f"WARNING: weights {weights!r} not found; random init")
 
