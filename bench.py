@@ -14,10 +14,13 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from s2d_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
 
 # Reference protocol throughput on A100 (frames/sec): estimated from the
 # reference's single-forward whole-clip demo path (R50 + 6-layer deformable

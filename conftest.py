@@ -19,8 +19,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
-# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config flag is
-# authoritative. Must run before any backend initialization.
+# This jax build ignores config env vars (JAX_PLATFORMS and the compilation
+# cache family); jax.config.update is authoritative. Must run before any
+# backend initialization.
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -46,6 +46,8 @@ def main(argv=None):
     args = parse_args(argv)
 
     import cv2
+    from s2d_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

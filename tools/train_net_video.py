@@ -37,6 +37,8 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    from s2d_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -63,7 +65,7 @@ def main(argv=None):
         print(f"Loaded reference checkpoint {weights}")
     else:
         sample = jnp.zeros((1, cfg.input.sampling_frame_num, 64, 64, 3))
-        student = model.init(rng, sample)
+        student = jax.jit(model.init)(rng, sample)
         teacher = jax.tree_util.tree_map(np.copy, student)
         if weights:
             print(f"WARNING: weights {weights!r} not found; random init")
