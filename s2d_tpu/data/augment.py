@@ -54,15 +54,43 @@ def _resize(img: np.ndarray, size_hw: Tuple[int, int], is_mask: bool) -> np.ndar
     return out.astype(bool) if is_mask else out
 
 
+def _affine_translate(dx: float, dy: float) -> np.ndarray:
+    m = np.eye(3)
+    m[0, 2], m[1, 2] = dx, dy
+    return m
+
+
+def _affine_scale(sx: float, sy: float) -> np.ndarray:
+    return np.diag([sx, sy, 1.0])
+
+
+def _affine_hflip(w: int) -> np.ndarray:
+    m = np.eye(3)
+    m[0, 0], m[0, 2] = -1.0, w - 1.0
+    return m
+
+
 def augment_clip(
     rng: np.random.RandomState,
     frames: List[np.ndarray],  # T x (H, W, 3) uint8 RGB
     masks: Optional[np.ndarray],  # (N, T, H, W) bool or None
     cfg: ClipAugConfig,
     is_train: bool = True,
-) -> Tuple[List[np.ndarray], Optional[np.ndarray]]:
+    return_affines: bool = False,
+):
+    """Returns (frames, masks) or, with return_affines, (frames, masks,
+    affines (T, 3, 3)) where each affine maps ORIGINAL pixel coords (x, y, 1)
+    to AUGMENTED coords — the transform record the disentangled
+    distillation loader replays on teacher masks (reference
+    dataset_mapper.py:333-344, 480-560)."""
     t = len(frames)
     h, w = frames[0].shape[:2]
+    affines = [np.eye(3) for _ in range(t)]
+
+    def _finish(fr, mk):
+        if return_affines:
+            return fr, mk, np.stack(affines)
+        return fr, mk
 
     if not is_train:
         short = cfg.min_sizes if isinstance(cfg.min_sizes, int) else cfg.min_sizes[0]
@@ -76,7 +104,9 @@ def augment_clip(
                     for n in range(masks.shape[0])
                 ]
             ) if masks.shape[0] else np.zeros((0, t, nh, nw), bool)
-        return out_frames, out_masks
+        scale = _affine_scale(nw / w, nh / h)
+        affines = [scale @ a for a in affines]
+        return _finish(out_frames, out_masks)
 
     out_frames = list(frames)
     out_masks = masks
@@ -90,6 +120,7 @@ def augment_clip(
             y0 = rng.randint(0, h - ch + 1)
             x0 = rng.randint(0, w - cw + 1)
             new_frames.append(out_frames[i][y0 : y0 + ch, x0 : x0 + cw])
+            affines[i] = _affine_translate(-x0, -y0) @ affines[i]
             if out_masks is not None:
                 new_masks.append(out_masks[:, i, y0 : y0 + ch, x0 : x0 + cw])
         out_frames = new_frames
@@ -105,6 +136,7 @@ def augment_clip(
     short = int(rng.choice(list(cfg.min_sizes)))
     nh, nw = resize_shortest_edge(h, w, short, cfg.max_size)
     out_frames = [_resize(f, (nh, nw), False) for f in out_frames]
+    affines = [_affine_scale(nw / w, nh / h) @ a for a in affines]
     if out_masks is not None and out_masks.shape[0]:
         out_masks = np.stack(
             [
@@ -119,6 +151,7 @@ def augment_clip(
     # clip-consistent horizontal flip
     if rng.rand() < cfg.flip_prob:
         out_frames = [f[:, ::-1] for f in out_frames]
+        affines = [_affine_hflip(w) @ a for a in affines]
         if out_masks is not None and out_masks.shape[0]:
             out_masks = out_masks[:, :, :, ::-1]
 
@@ -139,6 +172,7 @@ def augment_clip(
             cx = rng.uniform(0.4, 0.6) * w
             cy = rng.uniform(0.4, 0.6) * h
             mat = cv2.getRotationMatrix2D((cx, cy), angle, 1.0)
+            affines[i] = np.vstack([mat, [0.0, 0.0, 1.0]]) @ affines[i]
             img = cv2.warpAffine(img, mat, (w, h), flags=cv2.INTER_LINEAR)
             if out_masks is not None and out_masks.shape[0]:
                 for n in range(out_masks.shape[0]):
@@ -154,4 +188,4 @@ def augment_clip(
 
     if out_masks is not None:
         out_masks = np.ascontiguousarray(out_masks)
-    return out_frames, out_masks
+    return _finish(out_frames, out_masks)

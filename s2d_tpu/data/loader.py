@@ -45,12 +45,28 @@ def collate_clips(
     images = np.zeros((b, t, max_h, max_w, 3), np.float32)
     masks = np.zeros((b, n, t, max_h, max_w), bool)
     valid = np.zeros((b, n), bool)
+    has_distill = "distill_image" in samples[0]
+    if has_distill:
+        max_h = max(max_h, _bucket(max(s["distill_image"].shape[1] for s in samples), bucket_multiple))
+        max_w = max(max_w, _bucket(max(s["distill_image"].shape[2] for s in samples), bucket_multiple))
+        images = np.zeros((b, t, max_h, max_w, 3), np.float32)
+        masks = np.zeros((b, n, t, max_h, max_w), bool)
+        distill = np.zeros((b, t, max_h, max_w, 3), np.float32)
+        affine = np.zeros((b, t, 3, 3), np.float32)
     for i, s in enumerate(samples):
         _, h, w, _ = s["image"].shape
         images[i, :, :h, :w] = (s["image"] - mean) / std
         masks[i, :, :, :h, :w] = s["masks"]
         valid[i] = s["valid"]
-    return {"images": images, "masks": masks, "valid": valid}
+        if has_distill:
+            _, dh, dw, _ = s["distill_image"].shape
+            distill[i, :, :dh, :dw] = (s["distill_image"] - mean) / std
+            affine[i] = s["distill_affine"]
+    batch = {"images": images, "masks": masks, "valid": valid}
+    if has_distill:
+        batch["distill_images"] = distill
+        batch["distill_affine"] = affine
+    return batch
 
 
 def train_loader(

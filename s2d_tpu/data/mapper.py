@@ -34,6 +34,7 @@ class MapperConfig:
     sampling_frame_shuffle: bool = False
     dense_selection: bool = True
     max_instances: int = 40
+    disentangle: bool = False  # second differently-augmented clip for KD
     aug: ClipAugConfig = dataclasses.field(default_factory=ClipAugConfig)
 
     @classmethod
@@ -57,6 +58,7 @@ class MapperConfig:
             sampling_frame_range=inp.sampling_frame_range,
             sampling_frame_shuffle=inp.sampling_frame_shuffle,
             dense_selection=inp.dense_annotation_selection,
+            disentangle=is_train and inp.disentangle_distillation_loader,
             aug=aug,
         )
 
@@ -162,7 +164,27 @@ class ClipMapper:
                 if seg is not None:
                     masks[n, ti] = _decode_segmentation(seg, h, w)
 
-        frames, masks = augment_clip(self.rng, frames, masks, cfg.aug, self.is_train)
+        raw_frames = frames
+        if self.is_train and cfg.disentangle:
+            frames, masks, affines = augment_clip(
+                self.rng, frames, masks, cfg.aug, True, return_affines=True
+            )
+            # second, independently augmented view of the same clip
+            # (reference disentangle_distillation_loader,
+            #  dataset_mapper.py:461-473); the relative per-frame affine
+            #  maps PRIMARY pixel coords -> DISTILL pixel coords
+            distill_frames, _, distill_affines = augment_clip(
+                self.rng, raw_frames, None, cfg.aug, True, return_affines=True
+            )
+            rel = np.stack(
+                [
+                    da @ np.linalg.inv(pa)
+                    for da, pa in zip(distill_affines, affines)
+                ]
+            ).astype(np.float32)
+        else:
+            frames, masks = augment_clip(self.rng, frames, masks, cfg.aug, self.is_train)
+            distill_frames, rel = None, None
         t = len(frames)
         nh, nw = frames[0].shape[:2]
 
@@ -176,7 +198,7 @@ class ClipMapper:
             valid[:k] = True
             labels_padded[:k] = labels[:k]
 
-        return {
+        sample = {
             "video_id": record["video_id"],
             "image": np.stack(frames).astype(np.float32),  # (T, H, W, 3)
             "masks": masks_padded,
@@ -186,3 +208,7 @@ class ClipMapper:
             "width": record["width"],
             "selected_idx": selected,
         }
+        if distill_frames is not None:
+            sample["distill_image"] = np.stack(distill_frames).astype(np.float32)
+            sample["distill_affine"] = rel  # (T, 3, 3) primary -> distill px
+        return sample

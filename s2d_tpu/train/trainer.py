@@ -135,11 +135,14 @@ def make_train_step(model: VideoMaskFormer, cfg: Config, tx: optax.GradientTrans
         tgt_masks: jnp.ndarray,  # (B, N, T, H, W) bool
         tgt_valid: jnp.ndarray,  # (B, N) bool
         rng: jax.Array,
+        distill_images: jnp.ndarray | None = None,  # (B, T, H, W, 3)
+        distill_affine: jnp.ndarray | None = None,  # (B, T, 3, 3)
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         pad_hw = images.shape[2:4]
         sup_factor, kd_factor = factors_fn(state.step)
         rng_step = jax.random.fold_in(rng, state.step)
         k_drop, k_sup, k_kd = jax.random.split(rng_step, 3)
+        disentangled = distill_images is not None
 
         if kd_enabled:
             teacher_out = model.apply(state.teacher_params, images)
@@ -147,6 +150,11 @@ def make_train_step(model: VideoMaskFormer, cfg: Config, tx: optax.GradientTrans
             kd_masks, kd_valid = prepare_distillation_targets(
                 teacher_out, mf.score_threshold_distillation, pad_hw
             )
+            if disentangled:
+                # replay the distill view's transform on teacher targets
+                from ..ops.warp import warp_masks_affine
+
+                kd_masks = warp_masks_affine(kd_masks, distill_affine)
 
         def loss_fn(params):
             out = model.apply(
@@ -159,8 +167,15 @@ def make_train_step(model: VideoMaskFormer, cfg: Config, tx: optax.GradientTrans
             total = weighted_total(sup_losses, weights, kd=False, factor=sup_factor)
             metrics = {k: v for k, v in sup_losses.items() if "_" not in k[5:]}
             if kd_enabled:
+                if disentangled:
+                    kd_out = model.apply(
+                        params, distill_images,
+                        deterministic=False, rngs={"dropout": k_drop},
+                    )
+                else:
+                    kd_out = out
                 kd_losses = set_criterion(
-                    k_kd, out, kd_masks, kd_valid, kd_crit_cfg,
+                    k_kd, kd_out, kd_masks, kd_valid, kd_crit_cfg,
                     compute_labels_loss=True,
                 )
                 total = total + weighted_total(
