@@ -73,11 +73,15 @@ def main():
     jax.block_until_ready(out)
 
     iters = 10
+    checksum = 0.0
     start = time.perf_counter()
     for _ in range(iters):
         out = full(variables, images)
-    jax.block_until_ready(out)
+        # host read of a scalar per iteration: forces true completion even
+        # if the transport's block_until_ready is enqueue-acknowledged only
+        checksum += float(out["scores"][0])
     elapsed = time.perf_counter() - start
+    assert checksum == checksum  # NaN guard on the forced read
 
     fps = (iters * T) / elapsed
     print(

@@ -124,26 +124,29 @@ def convert_reference_network(
             consumed.add(prefix + suffix)
         return _fold_bn(state, prefix)
 
-    # ---- backbone ----
-    bb: Dict[str, Any] = {}
-    bb["stem_conv1"] = {"kernel": take_conv("backbone.stem.conv1.weight")}
-    s, b = take_bn("backbone.stem.conv1.norm")
-    bb["stem_norm1"] = {"scale": s, "bias": b}
-    stage_blocks = {"res2": 3, "res3": 4, "res4": 6, "res5": 3}
-    for stage, nblocks in stage_blocks.items():
-        for i in range(nblocks):
-            blk: Dict[str, Any] = {}
-            tprefix = f"backbone.{stage}.{i}"
-            for ci in (1, 2, 3):
-                blk[f"conv{ci}"] = {"kernel": take_conv(f"{tprefix}.conv{ci}.weight")}
-                s, b = take_bn(f"{tprefix}.conv{ci}.norm")
-                blk[f"norm{ci}"] = {"scale": s, "bias": b}
-            if f"{tprefix}.shortcut.weight" in state:
-                blk["shortcut"] = {"kernel": take_conv(f"{tprefix}.shortcut.weight")}
-                s, b = take_bn(f"{tprefix}.shortcut.norm")
-                blk["shortcut_norm"] = {"scale": s, "bias": b}
-            bb[f"{stage}_block{i}"] = blk
-    p["backbone"] = bb
+    # ---- backbone (ResNet or Swin, detected by key signature) ----
+    if "backbone.patch_embed.proj.weight" in state:
+        p["backbone"] = _convert_swin_backbone(state, consumed)
+    else:
+        bb: Dict[str, Any] = {}
+        bb["stem_conv1"] = {"kernel": take_conv("backbone.stem.conv1.weight")}
+        s, b = take_bn("backbone.stem.conv1.norm")
+        bb["stem_norm1"] = {"scale": s, "bias": b}
+        stage_blocks = {"res2": 3, "res3": 4, "res4": 6, "res5": 3}
+        for stage, nblocks in stage_blocks.items():
+            for i in range(nblocks):
+                blk: Dict[str, Any] = {}
+                tprefix = f"backbone.{stage}.{i}"
+                for ci in (1, 2, 3):
+                    blk[f"conv{ci}"] = {"kernel": take_conv(f"{tprefix}.conv{ci}.weight")}
+                    s, b = take_bn(f"{tprefix}.conv{ci}.norm")
+                    blk[f"norm{ci}"] = {"scale": s, "bias": b}
+                if f"{tprefix}.shortcut.weight" in state:
+                    blk["shortcut"] = {"kernel": take_conv(f"{tprefix}.shortcut.weight")}
+                    s, b = take_bn(f"{tprefix}.shortcut.norm")
+                    blk["shortcut_norm"] = {"scale": s, "bias": b}
+                bb[f"{stage}_block{i}"] = blk
+        p["backbone"] = bb
 
     # ---- pixel decoder ----
     pd: Dict[str, Any] = {}
@@ -264,6 +267,81 @@ def convert_reference_network(
     if leftover:
         raise KeyError(f"Unconsumed checkpoint keys: {sorted(leftover)[:10]} ...")
     return {"params": p}
+
+
+def _convert_swin_backbone(
+    state: Mapping[str, np.ndarray], consumed: set
+) -> Dict[str, Any]:
+    """d2 Swin keys (backbone.layers.{s}.blocks.{b}.*) -> SwinTransformer
+    params (models/swin.py naming)."""
+
+    def take(key):
+        consumed.add(key)
+        return state[key]
+
+    def take_dense(key):
+        consumed.add(key)
+        return _dense(state, key)
+
+    bb: Dict[str, Any] = {
+        "patch_embed_proj": {
+            "kernel": np.ascontiguousarray(
+                state["backbone.patch_embed.proj.weight"].transpose(2, 3, 1, 0)
+            ),
+            "bias": take("backbone.patch_embed.proj.bias"),
+        },
+        "patch_embed_norm": {
+            "scale": take("backbone.patch_embed.norm.weight"),
+            "bias": take("backbone.patch_embed.norm.bias"),
+        },
+    }
+    consumed.add("backbone.patch_embed.proj.weight")
+
+    si = 0
+    while f"backbone.layers.{si}.blocks.0.norm1.weight" in state:
+        bi = 0
+        while f"backbone.layers.{si}.blocks.{bi}.norm1.weight" in state:
+            tp = f"backbone.layers.{si}.blocks.{bi}"
+            consumed.add(f"{tp}.attn.relative_position_index")  # buffer
+            bb[f"stage{si}_block{bi}"] = {
+                "norm1": {"scale": take(f"{tp}.norm1.weight"), "bias": take(f"{tp}.norm1.bias")},
+                "norm2": {"scale": take(f"{tp}.norm2.weight"), "bias": take(f"{tp}.norm2.bias")},
+                "attn": {
+                    "relative_position_bias_table": take(
+                        f"{tp}.attn.relative_position_bias_table"
+                    ),
+                    "qkv": {
+                        "kernel": take_dense(f"{tp}.attn.qkv.weight"),
+                        "bias": take(f"{tp}.attn.qkv.bias"),
+                    },
+                    "proj": {
+                        "kernel": take_dense(f"{tp}.attn.proj.weight"),
+                        "bias": take(f"{tp}.attn.proj.bias"),
+                    },
+                },
+                "mlp_fc1": {
+                    "kernel": take_dense(f"{tp}.mlp.fc1.weight"),
+                    "bias": take(f"{tp}.mlp.fc1.bias"),
+                },
+                "mlp_fc2": {
+                    "kernel": take_dense(f"{tp}.mlp.fc2.weight"),
+                    "bias": take(f"{tp}.mlp.fc2.bias"),
+                },
+            }
+            bi += 1
+        ds = f"backbone.layers.{si}.downsample"
+        if f"{ds}.reduction.weight" in state:
+            bb[f"downsample{si}"] = {
+                "norm": {"scale": take(f"{ds}.norm.weight"), "bias": take(f"{ds}.norm.bias")},
+                "reduction": {"kernel": take_dense(f"{ds}.reduction.weight")},
+            }
+        if f"backbone.norm{si}.weight" in state:
+            bb[f"out_norm{si}"] = {
+                "scale": take(f"backbone.norm{si}.weight"),
+                "bias": take(f"backbone.norm{si}.bias"),
+            }
+        si += 1
+    return bb
 
 
 def load_reference_model(path: str, which: str = "teacher") -> Dict[str, Any]:

@@ -37,7 +37,12 @@ class VideoMaskFormer(nn.Module):
     dec_layers: int = 10  # config value; decoder runs dec_layers - 1 rounds
     transformer_enc_layers: int = 6
     enc_dropout: float = 0.0
+    backbone_type: str = "resnet"  # "resnet" | "swin"
     backbone_depth: int = 50
+    swin_embed_dim: int = 96
+    swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
+    swin_num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    swin_window: int = 7
     msda_impl: str = "xla"
     flash_cross_attention: bool = False  # Pallas flash decoder attn (eval)
     compute_dtype: Any = jnp.float32
@@ -52,11 +57,22 @@ class VideoMaskFormer(nn.Module):
         b, t, h, w, _ = images.shape
         frames = images.reshape(b * t, h, w, 3).astype(self.compute_dtype)
 
-        features = ResNet(
-            depth=self.backbone_depth,
-            out_features=("res2", "res3", "res4", "res5"),
-            name="backbone",
-        )(frames)
+        if self.backbone_type == "swin":
+            from .swin import SwinTransformer
+
+            features = SwinTransformer(
+                embed_dim=self.swin_embed_dim,
+                depths=self.swin_depths,
+                num_heads=self.swin_num_heads,
+                window=self.swin_window,
+                name="backbone",
+            )(frames)
+        else:
+            features = ResNet(
+                depth=self.backbone_depth,
+                out_features=("res2", "res3", "res4", "res5"),
+                name="backbone",
+            )(frames)
 
         mask_features, ms_feats = MSDeformAttnPixelDecoder(
             conv_dim=self.hidden_dim,
@@ -96,8 +112,14 @@ def build_model(
     flash_cross_attention: bool = False,
 ) -> VideoMaskFormer:
     mf = cfg.model.mask_former
+    is_swin = "swin" in cfg.model.backbone.name.lower()
     return VideoMaskFormer(
         flash_cross_attention=flash_cross_attention,
+        backbone_type="swin" if is_swin else "resnet",
+        swin_embed_dim=cfg.model.swin.embed_dim,
+        swin_depths=tuple(cfg.model.swin.depths),
+        swin_num_heads=tuple(cfg.model.swin.num_heads),
+        swin_window=cfg.model.swin.window_size,
         num_classes=cfg.model.sem_seg_head.num_classes,
         hidden_dim=mf.hidden_dim,
         mask_dim=cfg.model.sem_seg_head.mask_dim,
