@@ -68,18 +68,17 @@ def main():
             nms_thresh=tcfg.nms_thresh,
         )
 
-    # warmup / compile
+    # warmup / compile; forced host read (the axon transport's
+    # block_until_ready acknowledges enqueue only — a scalar device->host
+    # read is the only reliable completion barrier)
     out = full(variables, images)
-    jax.block_until_ready(out)
+    _ = float(out["scores"][0])
 
     iters = 10
-    checksum = 0.0
     start = time.perf_counter()
     for _ in range(iters):
         out = full(variables, images)
-        # host read of a scalar per iteration: forces true completion even
-        # if the transport's block_until_ready is enqueue-acknowledged only
-        checksum += float(out["scores"][0])
+    checksum = float(out["scores"][0])  # one forced read times ALL iters
     elapsed = time.perf_counter() - start
     assert checksum == checksum  # NaN guard on the forced read
 
