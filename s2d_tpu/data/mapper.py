@@ -104,14 +104,30 @@ def _decode_segmentation(seg, h: int, w: int) -> np.ndarray:
     return rle_codec.polygons_to_mask(seg, h, w)
 
 
+def load_image_robust(path: str, retries: int = 3, backoff: float = 0.5) -> np.ndarray:
+    """Read an RGB image with retry + exponential backoff (network
+    filesystems flake; reference `load_image_robust`, crw_utils.py:310-347,
+    retries with backoff and a PIL fallback)."""
+    import time
+
+    last_err: Exception | None = None
+    for attempt in range(retries):
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is not None:
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        try:
+            from PIL import Image
+
+            with Image.open(path) as im:
+                return np.asarray(im.convert("RGB"))
+        except Exception as err:  # noqa: BLE001
+            last_err = err
+        time.sleep(backoff * (2 ** attempt))
+    raise FileNotFoundError(f"could not read {path!r}: {last_err}")
+
+
 def load_frames(file_names: List[str]) -> List[np.ndarray]:
-    frames = []
-    for fn in file_names:
-        img = cv2.imread(fn, cv2.IMREAD_COLOR)
-        if img is None:
-            raise FileNotFoundError(fn)
-        frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
-    return frames
+    return [load_image_robust(fn) for fn in file_names]
 
 
 class ClipMapper:

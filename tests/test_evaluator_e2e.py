@@ -1,0 +1,88 @@
+"""End-to-end eval path: registered dataset -> inference -> results.json ->
+spatio-temporal AP. Tiny model, synthetic videos, CPU."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2d_tpu.config import load_config
+from s2d_tpu.data import register_ytvis, rle
+from s2d_tpu.evaluation.evaluator import evaluate_dataset
+from s2d_tpu.models import build_model
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("e2e")
+    img_root = root / "frames"
+    img_root.mkdir()
+    videos, annotations = [], []
+    h, w, t = 64, 96, 3
+    for vid in (1, 2):
+        files = []
+        (img_root / f"v{vid}").mkdir()
+        for fi in range(t):
+            name = f"v{vid}/{fi:05d}.jpg"
+            img = np.random.RandomState(vid * 10 + fi).randint(0, 255, (h, w, 3), np.uint8)
+            cv2.imwrite(str(img_root / name), img)
+            files.append(name)
+        videos.append({"id": vid, "file_names": files, "height": h, "width": w, "length": t})
+        mask = np.zeros((h, w), bool)
+        mask[16:40, 24:64] = True
+        annotations.append(
+            {
+                "id": vid,
+                "video_id": vid,
+                "category_id": 1,
+                "segmentations": [rle.encode(mask)] * t,
+                "iscrowd": 0,
+            }
+        )
+    data = {"videos": videos, "annotations": annotations,
+            "categories": [{"id": 1, "name": "fg"}]}
+    json_path = root / "valid.json"
+    json_path.write_text(json.dumps(data))
+    register_ytvis("tiny_e2e_val", str(json_path), str(img_root), class_agnostic=True)
+    return str(root)
+
+
+def test_eval_only_end_to_end(tiny_dataset, tmp_path):
+    cfg = load_config(None, opts=[
+        "MODEL.MASK_FORMER.HIDDEN_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.MASK_DIM", "32",
+        "MODEL.MASK_FORMER.NUM_OBJECT_QUERIES", "8",
+        "MODEL.MASK_FORMER.NHEADS", "4",
+        "MODEL.MASK_FORMER.DIM_FEEDFORWARD", "64",
+        "MODEL.MASK_FORMER.DEC_LAYERS", "2",
+        "MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS", "1",
+        "MODEL.MASK_FORMER.TEST.NUM_PREDICTIONS", "4",
+        "INPUT.MIN_SIZE_TEST", "64",
+        "SOLVER.AMP.ENABLED", "False",
+    ])
+    model = build_model(cfg, compute_dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 64, 96, 3)))
+
+    out_dir = str(tmp_path / "out")
+    metrics = evaluate_dataset(cfg, model, variables, "tiny_e2e_val", output_dir=out_dir)
+
+    # structure: all protocol metrics present, results.json written
+    for key in ("AP", "AP50", "AP75", "APs", "APm", "APl", "AR1", "AR10", "AR100"):
+        assert key in metrics
+    results_path = os.path.join(out_dir, "results.json")
+    assert os.path.exists(results_path)
+    with open(results_path) as f:
+        results = json.load(f)
+    assert results, "expected some predictions"
+    r = results[0]
+    assert set(r) >= {"video_id", "score", "category_id", "segmentations"}
+    assert len(r["segmentations"]) == 3  # all frames
+    # RLEs decode at the original resolution
+    seg = r["segmentations"][0]
+    assert seg["size"] == [64, 96]
+    rle.decode(seg)
