@@ -59,7 +59,15 @@ def main(argv=None):
     rng = jax.random.PRNGKey(max(cfg.seed, 0))
 
     weights = args.weights or cfg.model.weights
-    if weights and os.path.exists(weights):
+    if cfg.model.weight_list and all(os.path.exists(p) for p in cfg.model.weight_list):
+        # MODEL.WEIGHT_LIST: merge separate student/teacher checkpoints
+        # (reference combine_weights_to_student_teacher, defaults.py:465-501)
+        student_path = cfg.model.weight_list[0]
+        teacher_path = cfg.model.weight_list[-1]
+        student = load_reference_model(student_path, which="student")
+        teacher = load_reference_model(teacher_path, which="teacher")
+        print(f"Merged checkpoints student={student_path} teacher={teacher_path}")
+    elif weights and os.path.exists(weights):
         student = load_reference_model(weights, which="student")
         teacher = load_reference_model(weights, which="teacher")
         print(f"Loaded reference checkpoint {weights}")
