@@ -97,17 +97,15 @@ def _evaluate_group(
 ) -> Optional[_VidEval]:
     if not gts and not dts:
         return None
-    gt_ignore = np.array(
-        [
-            g.get("iscrowd", 0) == 1
-            or not (area_rng[0] <= g["avg_area"] <= area_rng[1])
-            for g in gts
-        ],
+    crowd = np.array([g.get("iscrowd", 0) == 1 for g in gts], dtype=bool)
+    gt_ignore = crowd | np.array(
+        [not (area_rng[0] <= g["avg_area"] <= area_rng[1]) for g in gts],
         dtype=bool,
     )
     order_g = np.argsort(gt_ignore, kind="stable")  # non-ignored first
     gts = [gts[i] for i in order_g]
     gt_ignore = gt_ignore[order_g]
+    crowd = crowd[order_g]
 
     dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
     t = len(IOU_THRS)
@@ -123,13 +121,13 @@ def _evaluate_group(
                 best_iou = min(thr, 1 - 1e-10)
                 best_gi = -1
                 for gi in range(g_n):
-                    if gt_taken[gi] and not gt_ignore[gi]:
+                    # a taken gt can only be re-matched if it is a crowd
+                    # region (COCOeval semantics)
+                    if gt_taken[gi] and not crowd[gi]:
                         continue
                     if best_gi > -1 and not gt_ignore[best_gi] and gt_ignore[gi]:
                         break  # can't beat a real match with an ignored one
                     if ious[di, gi] < best_iou:
-                        continue
-                    if gt_taken[gi]:
                         continue
                     best_iou = ious[di, gi]
                     best_gi = gi

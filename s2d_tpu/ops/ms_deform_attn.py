@@ -27,7 +27,7 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .sampling import grid_sample
+from .sampling import grid_sample, grid_sample_rows
 
 
 def ms_deform_attn(
@@ -64,6 +64,10 @@ def ms_deform_attn(
 
 
 def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations, attention_weights):
+    """Channels-last row-gather formulation: per level, value rows are
+    (B*M, H*W, D) and all Lq*P points gather rows at once — the layout XLA
+    TPU lowers to fast row gathers (gathering along the lane axis instead
+    is orders of magnitude slower)."""
     b, s, m, d = value.shape
     _, lq, _, num_levels, p, _ = sampling_locations.shape
     assert len(spatial_shapes) == num_levels
@@ -72,19 +76,23 @@ def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations, attention_wei
     sampled_per_level = []
     start = 0
     for lid, (h, w) in enumerate(spatial_shapes):
-        # (B, HW, M, D) -> (B*M, D, H, W)
+        # (B, HW, M, D) -> (B*M, HW, D) rows
         v = value[:, start : start + h * w]
-        v = v.transpose(0, 2, 3, 1).reshape(b * m, d, h, w)
-        # (B, Lq, M, P, 2) -> (B*M, Lq, P, 2), rescaled to [-1, 1]
+        v_rows = v.transpose(0, 2, 1, 3).reshape(b * m, h * w, d)
+        # (B, Lq, M, P, 2) -> (B*M, Lq*P, 2), rescaled to [-1, 1]
         loc = sampling_locations[:, :, :, lid]
-        grid = 2.0 * loc.transpose(0, 2, 1, 3, 4).reshape(b * m, lq, p, 2) - 1.0
-        # (B*M, D, Lq, P)
-        sampled_per_level.append(grid_sample(v, grid))
+        grid = 2.0 * loc.transpose(0, 2, 1, 3, 4).reshape(b * m, lq * p, 2) - 1.0
+        # (B*M, Lq*P, D)
+        sampled_per_level.append(grid_sample_rows(v_rows, grid, h, w))
         start += h * w
 
-    # (B*M, D, Lq, L, P)
-    sampled = jnp.stack(sampled_per_level, axis=3)
-    # (B, Lq, M, L, P) -> (B*M, 1, Lq, L, P)
-    weights = attention_weights.transpose(0, 2, 1, 3, 4).reshape(b * m, 1, lq, num_levels, p)
-    out = (sampled * weights).sum(axis=(3, 4))  # (B*M, D, Lq)
-    return out.reshape(b, m, d, lq).transpose(0, 3, 1, 2).reshape(b, lq, m * d)
+    # (B*M, Lq, L, P, D)
+    sampled = jnp.stack(
+        [x.reshape(b * m, lq, p, d) for x in sampled_per_level], axis=2
+    )
+    # (B, Lq, M, L, P) -> (B*M, Lq, L, P, 1)
+    weights = attention_weights.transpose(0, 2, 1, 3, 4).reshape(
+        b * m, lq, num_levels, p, 1
+    )
+    out = (sampled * weights).sum(axis=(2, 3))  # (B*M, Lq, D)
+    return out.reshape(b, m, lq, d).transpose(0, 2, 1, 3).reshape(b, lq, m * d)
