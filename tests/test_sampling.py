@@ -29,6 +29,19 @@ def test_grid_sample_matches_torch(seed, shape):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_onehot_impl_matches_gather():
+    """The TPU one-hot sparse-einsum path is value-identical to the gather
+    path (both bilinear with zero padding)."""
+    from s2d_tpu.ops.sampling import grid_sample_rows
+
+    rng = np.random.RandomState(5)
+    rows = jnp.asarray(rng.randn(3, 5 * 7, 4).astype(np.float32))
+    grid = jnp.asarray(rng.uniform(-1.3, 1.3, (3, 11, 2)).astype(np.float32))
+    a = np.asarray(grid_sample_rows(rows, grid, 5, 7, impl="gather"))
+    b = np.asarray(grid_sample_rows(rows, grid, 5, 7, impl="onehot"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_point_sample_matches_torch():
     rng = np.random.RandomState(3)
     x = rng.randn(2, 4, 10, 13).astype(np.float32)

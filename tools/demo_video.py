@@ -31,8 +31,10 @@ PALETTE = [
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="s2d_tpu video demo")
     parser.add_argument("--config-file", default="")
-    parser.add_argument("--input", required=True,
+    parser.add_argument("--input", default="",
                         help="glob of frame JPEGs (sorted) for one video")
+    parser.add_argument("--video-input", default="",
+                        help="mp4/video file (alternative to --input)")
     parser.add_argument("--output", required=True)
     parser.add_argument("--confidence-threshold", type=float, default=0.8)
     parser.add_argument("--weights", default="")
@@ -61,9 +63,21 @@ def main(argv=None):
     cfg = load_config(args.config_file or None, args.opts)
     os.makedirs(args.output, exist_ok=True)
 
-    files = sorted(glob.glob(args.input))
-    assert files, f"no frames match {args.input!r}"
-    raw = [cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2RGB) for f in files]
+    if args.video_input:
+        cap = cv2.VideoCapture(args.video_input)
+        raw = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            raw.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        cap.release()
+        assert raw, f"no frames decoded from {args.video_input!r}"
+    else:
+        assert args.input, "provide --input or --video-input"
+        files = sorted(glob.glob(args.input))
+        assert files, f"no frames match {args.input!r}"
+        raw = [cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2RGB) for f in files]
     oh, ow = raw[0].shape[:2]
     nh, nw = resize_shortest_edge(oh, ow, cfg.input.min_size_test, cfg.input.max_size_test)
     frames = np.stack([

@@ -99,6 +99,14 @@ def main(argv=None):
         teacher_params=teacher,
         opt_state=tx.init(student),
     )
+    ckpt_dir = os.path.join(cfg.output_dir, "checkpoints")
+    if args.resume:
+        from s2d_tpu.checkpoint import latest_step, restore_checkpoint
+
+        step = latest_step(ckpt_dir)
+        if step is not None:
+            state = restore_checkpoint(ckpt_dir, state, step)
+            print(f"Resumed from checkpoint step {step}")
     step_fn = jax.jit(make_train_step(model, cfg, tx))
 
     dicts = []
@@ -124,12 +132,19 @@ def main(argv=None):
             images, masks, valid = shard_batch(
                 mesh, (batch["images"], batch["masks"], batch["valid"])
             )
-            state, metrics = step_fn(state, images, masks, valid, train_rng)
+            if "distill_images" in batch:
+                d_img, d_aff = shard_batch(
+                    mesh, (batch["distill_images"], batch["distill_affine"])
+                )
+                state, metrics = step_fn(
+                    state, images, masks, valid, train_rng,
+                    distill_images=d_img, distill_affine=d_aff,
+                )
+            else:
+                state, metrics = step_fn(state, images, masks, valid, train_rng)
             logger.log(it, {k: float(v) for k, v in metrics.items()})
             if (it + 1) % 5000 == 0 or (it + 1) == cfg.solver.max_iter:
-                save_checkpoint(
-                    os.path.join(cfg.output_dir, "checkpoints"), it + 1, state
-                )
+                save_checkpoint(ckpt_dir, it + 1, state)
     return 0
 
 
