@@ -63,12 +63,12 @@ def postprocess_video(
     sel = pred_masks[query_idx].astype(jnp.float32)  # (P, T, H/4, W/4)
     t = sel.shape[1]
     pad_h, pad_w = sel.shape[2] * 4, sel.shape[3] * 4
-    up = interpolate_bilinear(sel, (pad_h, pad_w))
+    up = interpolate_bilinear(sel, (pad_h, pad_w), precision="default")
     up = up[:, :, : image_size[0], : image_size[1]]
 
     # chunked full-resolution resize + binarize (bounds peak memory)
     def resize_chunk(chunk):
-        return interpolate_bilinear(chunk, output_size) > 0.0
+        return interpolate_bilinear(chunk, output_size, precision="default") > 0.0
 
     chunks = jnp.stack(jnp.split(up, _chunks(num_predictions), axis=0))
     masks = jax.lax.map(resize_chunk, chunks)

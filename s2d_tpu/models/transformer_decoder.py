@@ -110,8 +110,9 @@ class VideoMaskedTransformerDecoder(nn.Module):
             out_cls = class_embed(normed)
             membed = mask_embed_mlp(normed)
             out_mask = jnp.einsum("bqc,bthwc->bqthw", membed, mask_features)
-            # next-level attention mask
-            small = interpolate_bilinear(out_mask, attn_size)  # (B, Q, t, h, w)
+            # next-level attention mask (reference resizes under AMP fp16;
+            # default precision matches that, highest would be stricter)
+            small = interpolate_bilinear(out_mask, attn_size, precision="default")
             blocked = jax.nn.sigmoid(small).reshape(b, q, -1) < 0.5
             all_blocked = blocked.all(axis=-1, keepdims=True)
             blocked = blocked & ~all_blocked

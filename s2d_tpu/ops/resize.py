@@ -41,8 +41,16 @@ def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
     return mat.astype(np.float32)
 
 
-def interpolate_bilinear(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
-    """Resize the trailing two dims of `x` (..., H, W) to `size`=(H', W')."""
+def interpolate_bilinear(
+    x: jnp.ndarray, size: tuple[int, int], precision: str = "highest"
+) -> jnp.ndarray:
+    """Resize the trailing two dims of `x` (..., H, W) to `size`=(H', W').
+
+    precision: "highest" = exact f32 matmuls (torch-parity at threshold
+    boundaries — used in the fp32 pixel-decoder island); "default" = the
+    backend's fast path (the reference runs its decoder/inference resizes
+    under AMP fp16, so this matches the reference's own numerics there).
+    """
     out_h, out_w = size
     *lead, h, w = x.shape
     if (h, w) == (out_h, out_w):
@@ -50,10 +58,12 @@ def interpolate_bilinear(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     mat_h = jnp.asarray(_interp_matrix(h, out_h), dtype=x.dtype)
     mat_w = jnp.asarray(_interp_matrix(w, out_w), dtype=x.dtype)
     flat = x.reshape(-1, h, w)
+    hp = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
     # (B, H, W) -> (B, H', W): contract H with mat_h, then W with mat_w.
-    # HIGHEST precision: parity with torch at mask-threshold boundaries
-    # matters more than matmul speed for these small interpolation matrices.
-    hp = jax.lax.Precision.HIGHEST
     out = jnp.einsum("oh,bhw->bow", mat_h, flat, precision=hp)
     out = jnp.einsum("ow,bhw->bho", mat_w, out, precision=hp)
     return out.reshape(*lead, out_h, out_w)
