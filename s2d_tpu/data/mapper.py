@@ -59,6 +59,8 @@ class MapperConfig:
             sampling_frame_shuffle=inp.sampling_frame_shuffle,
             dense_selection=inp.dense_annotation_selection,
             disentangle=is_train and inp.disentangle_distillation_loader,
+            # targets must fit in the query set (matcher needs N <= Q)
+            max_instances=min(40, cfg.model.mask_former.num_object_queries),
             aug=aug,
         )
 

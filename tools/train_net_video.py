@@ -91,7 +91,12 @@ def main(argv=None):
         return 0
 
     # ---- training ----
-    mesh = create_mesh()
+    # the data axis must divide the global batch; surplus devices idle
+    # (the reference requires batch % world_size == 0 the same way)
+    n_data = len(jax.devices())
+    while cfg.solver.ims_per_batch % n_data:
+        n_data -= 1
+    mesh = create_mesh(n_data=n_data, devices=jax.devices()[:n_data])
     tx = build_optimizer(cfg, student)
     state = TrainState(
         step=jnp.asarray(0, jnp.int32),
