@@ -241,6 +241,34 @@ def rpn_losses(out, gt_boxes, gt_valid, pos_iou=0.7, neg_iou=0.3):
     return {"loss_rpn_cls": loss_obj, "loss_rpn_loc": loss_box}
 
 
+def mask_loss(out, gt_masks, gt_boxes, gt_valid, cfg: CutlerConfig):
+    """Per-proposal BCE between predicted 28x28 mask logits and the matched
+    ground-truth mask cropped to the proposal box (d2 mask head loss,
+    class-agnostic). gt_masks: (G, H, W) bool at image resolution."""
+    from ..ops.roi_align import roi_align
+
+    boxes = out["final_boxes"]
+    iou = pairwise_iou(boxes, gt_boxes)
+    iou = jnp.where(gt_valid[None, :], iou, 0.0)
+    best_iou = iou.max(axis=1)
+    best_gt = iou.argmax(axis=1)
+    fg = (best_iou >= cfg.cascade_ious[-1]).astype(jnp.float32)
+
+    logits = out["mask_logits"]  # (R, 2s, 2s)
+    side = logits.shape[-1]
+    # crop each matched gt mask to its proposal box at the mask resolution
+    gt_rows = gt_masks.astype(jnp.float32)[..., None]  # (G, H, W, 1)
+    crops = []
+    for gi in range(gt_masks.shape[0]):
+        crops.append(roi_align(gt_rows[gi], boxes, output_size=side, sampling_ratio=1))
+    targets = jnp.stack(crops)[best_gt, jnp.arange(boxes.shape[0])][..., 0] > 0.5
+    targets = targets.astype(jnp.float32)
+
+    bce = jnp.maximum(logits, 0) - logits * targets + jax.nn.softplus(-jnp.abs(logits))
+    per_roi = bce.mean(axis=(1, 2))
+    return {"loss_mask": (per_roi * fg).sum() / jnp.maximum(fg.sum(), 1.0)}
+
+
 def roi_losses(out, gt_boxes, gt_labels, gt_valid, cfg: CutlerConfig):
     """Cascade box losses with DropLoss + (optional) mask loss hooks.
 

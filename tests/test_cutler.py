@@ -85,6 +85,18 @@ def test_rcnn_forward_shapes(tiny_rcnn):
     assert out["mask_logits"].shape == (16, 28, 28)
 
 
+def test_mask_loss(tiny_rcnn):
+    from s2d_tpu.models.cutler import mask_loss
+
+    cfg, model, params, image = tiny_rcnn
+    out = model.apply(params, image)
+    gt_masks = jnp.zeros((2, 64, 64), bool).at[0, 10:40, 10:40].set(True)
+    gt_boxes = jnp.asarray([[10.0, 10, 40, 40], [0.0, 0, 1, 1]])
+    gt_valid = jnp.asarray([True, False])
+    losses = mask_loss(out, gt_masks, gt_boxes, gt_valid, cfg)
+    assert np.isfinite(float(losses["loss_mask"]))
+
+
 def test_rcnn_losses_and_droploss(tiny_rcnn):
     cfg, model, params, image = tiny_rcnn
     out = model.apply(params, image)
