@@ -93,7 +93,7 @@ class _VidEval:
 
 
 def _evaluate_group(
-    gts: List[dict], dts: List[dict], area_rng, max_det: int
+    gts: List[dict], dts: List[dict], area_rng, max_det: int, iou_fn=None
 ) -> Optional[_VidEval]:
     if not gts and not dts:
         return None
@@ -114,7 +114,13 @@ def _evaluate_group(
     dt_ignore = np.zeros((t, d_n), dtype=bool)
 
     if d_n and g_n:
-        ious = _track_ious(dts, gts)
+        if iou_fn is None:
+            ious = _track_ious(dts, gts)
+        else:
+            ious = np.zeros((d_n, g_n))
+            for di, d in enumerate(dts):
+                for gi, g in enumerate(gts):
+                    ious[di, gi] = iou_fn(d["segmentations"], g["segmentations"])
         for ti, thr in enumerate(IOU_THRS):
             gt_taken = np.zeros(g_n, dtype=bool)
             for di in range(d_n):
@@ -151,6 +157,47 @@ def _evaluate_group(
     )
 
 
+def evaluate_detections_boxes(
+    gt_annotations: List[dict],
+    predictions: List[dict],
+    use_cats: bool = True,
+) -> Dict[str, float]:
+    """COCO-style box AP for image detections (the CutLER eval protocol,
+    reference `cutler/evaluation/coco_evaluation.py`): each image is a
+    single-frame 'video' whose IoU is box IoU. Entries carry
+    {image_id, category_id, bbox (xyxy), score?}."""
+    import numpy as _np
+
+    def to_track(e):
+        x0, y0, x1, y1 = e["bbox"]
+        area = max(x1 - x0, 0) * max(y1 - y0, 0)
+        return {
+            "video_id": e.get("image_id", e.get("video_id")),
+            "category_id": e["category_id"],
+            "segmentations": [tuple(e["bbox"])],  # opaque payload for iou
+            "avg_area": float(area),
+            "iscrowd": e.get("iscrowd", 0),
+            **({"score": e["score"]} if "score" in e else {}),
+        }
+
+    gts = [to_track(g) for g in gt_annotations]
+    dts = [to_track(d) for d in predictions]
+
+    def box_iou(d_segs, g_segs):
+        (dx0, dy0, dx1, dy1), (gx0, gy0, gx1, gy1) = d_segs[0], g_segs[0]
+        ix = max(0.0, min(dx1, gx1) - max(dx0, gx0))
+        iy = max(0.0, min(dy1, gy1) - max(dy0, gy0))
+        inter = ix * iy
+        union = (
+            max(dx1 - dx0, 0) * max(dy1 - dy0, 0)
+            + max(gx1 - gx0, 0) * max(gy1 - gy0, 0)
+            - inter
+        )
+        return inter / union if union > 0 else 0.0
+
+    return _evaluate_generic(gts, dts, use_cats, iou_fn=box_iou)
+
+
 def evaluate_vis(
     gt_annotations: List[dict],
     predictions: List[dict],
@@ -165,7 +212,15 @@ def evaluate_vis(
         a.setdefault("avg_area", _avg_area(a["segmentations"]))
     for d in predictions:
         d.setdefault("avg_area", _avg_area(d["segmentations"]))
+    return _evaluate_generic(gt_annotations, predictions, use_cats)
 
+
+def _evaluate_generic(
+    gt_annotations: List[dict],
+    predictions: List[dict],
+    use_cats: bool,
+    iou_fn=None,
+) -> Dict[str, float]:
     cat_of = (lambda x: x["category_id"]) if use_cats else (lambda x: 0)
     video_ids = sorted(
         {a["video_id"] for a in gt_annotations}
@@ -191,7 +246,8 @@ def evaluate_vis(
             for mi, max_det in enumerate(MAX_DETS):
                 evals = [
                     _evaluate_group(
-                        gt_by.get((v, cat), []), dt_by.get((v, cat), []), arng, max_det
+                        gt_by.get((v, cat), []), dt_by.get((v, cat), []),
+                        arng, max_det, iou_fn,
                     )
                     for v in video_ids
                 ]

@@ -79,3 +79,20 @@ def test_localization_quality_graded():
     assert metrics["AP50"] == pytest.approx(1.0)
     assert metrics["AP75"] == pytest.approx(0.0)
     assert 0.0 < metrics["AP"] < 0.5
+
+
+def test_box_detection_ap():
+    from s2d_tpu.evaluation.ytvos_eval import evaluate_detections_boxes
+
+    gts, dts = [], []
+    for img in (1, 2):
+        gts.append({"image_id": img, "category_id": 1, "bbox": [10, 10, 50, 50]})
+        dts.append({"image_id": img, "category_id": 1, "bbox": [10, 10, 50, 50],
+                    "score": 0.9})
+    metrics = evaluate_detections_boxes(gts, dts)
+    assert metrics["AP"] == pytest.approx(1.0)
+    # shifted detection only counts at low thresholds
+    dts_off = [dict(d, bbox=[20, 10, 60, 50]) for d in dts]
+    m2 = evaluate_detections_boxes(gts, dts_off)
+    assert m2["AP50"] == pytest.approx(1.0)
+    assert m2["AP75"] == pytest.approx(0.0)

@@ -152,3 +152,20 @@ def test_convert_results_to_annotations():
     ann = out["annotations"][0]
     assert ann["areas"][0] == int(masks[0].sum())
     assert ann["bboxes"][0] is not None
+
+
+def test_candidate_mask_export(tmp_path):
+    from s2d_tpu.keymask.export import save_candidate_masks
+
+    video, masks = _make_video(t=3)
+    masks_per_frame = [{1: masks[fi]} for fi in range(3)]
+    records = [
+        {"frame": 0, "mask_id": 1, "visibility": [1, 1, 1]},
+        {"frame": 1, "mask_id": 1, "visibility": [1, 1, 1]},
+    ]
+    windows = [{"cluster": 0, "range": (0, 2), "winners": [0, 1]}]
+    written = save_candidate_masks(str(tmp_path), windows, records, masks_per_frame)
+    assert len(written) == 2
+    import cv2
+    img = cv2.imread(written[0], cv2.IMREAD_GRAYSCALE)
+    assert (img > 0).sum() == masks[0].sum()
