@@ -53,6 +53,81 @@ def _corner_terms(grid: jnp.ndarray, h: int, w: int):
     return corners
 
 
+def pack_2x2(rows: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(N, H*W, C) -> (N, H*W, 4C): row (y, x) carries the 2x2 patch
+    [v(y,x), v(y,x+1), v(y+1,x), v(y+1,x+1)] (zero past the border), so one
+    row fetch supplies all four bilinear corners."""
+    n, hw, c = rows.shape
+    v = rows.reshape(n, h, w, c)
+    z_col = jnp.zeros((n, h, 1, c), rows.dtype)
+    z_row = jnp.zeros((n, 1, w, c), rows.dtype)
+    right = jnp.concatenate([v[:, :, 1:], z_col], axis=2)
+    down = jnp.concatenate([v[:, 1:], z_row], axis=1)
+    downright = jnp.concatenate([down[:, :, 1:], z_col], axis=2)
+    packed = jnp.concatenate([v, right, down, downright], axis=-1)
+    return packed.reshape(n, hw, 4 * c)
+
+
+def _packed_terms(grid: jnp.ndarray, h: int, w: int):
+    """Base row index (clamped 2x2 anchor) + per-block weights.
+
+    Block pixel (anchor+dx, anchor+dy) receives the ORIGINAL bilinear
+    corner weight of whichever corner lands on that pixel (zero if none) —
+    this keeps torch's zero-padding semantics exactly even when the anchor
+    is clamped at the border."""
+    gx = grid[..., 0]
+    gy = grid[..., 1]
+    ix = ((gx + 1.0) * w - 1.0) * 0.5
+    iy = ((gy + 1.0) * h - 1.0) * 0.5
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx1 = ix - x0
+    wy1 = iy - y0
+
+    def axis_weights(c0, frac, size, anchor):
+        # weight of original corner c at pixel p: w(c) if p == c else 0
+        w0 = (1.0 - frac) * ((c0 >= 0) & (c0 <= size - 1))
+        w1 = frac * ((c0 + 1 >= 0) & (c0 + 1 <= size - 1))
+        at0 = jnp.where(anchor == c0, w0, 0.0) + jnp.where(anchor == c0 + 1, w1, 0.0)
+        at1 = jnp.where(anchor + 1 == c0, w0, 0.0) + jnp.where(
+            anchor + 1 == c0 + 1, w1, 0.0
+        )
+        return at0, at1
+
+    xb = jnp.clip(x0, 0, max(w - 2, 0))
+    yb = jnp.clip(y0, 0, max(h - 2, 0))
+    wx_at0, wx_at1 = axis_weights(x0, wx1, w, xb)
+    wy_at0, wy_at1 = axis_weights(y0, wy1, h, yb)
+    weights = jnp.stack(
+        [wx_at0 * wy_at0, wx_at1 * wy_at0, wx_at0 * wy_at1, wx_at1 * wy_at1],
+        axis=-1,
+    )  # (N, P, 4) ordered like pack_2x2's blocks
+    idx = (yb * w + xb).astype(jnp.int32)
+    return idx, weights
+
+
+def grid_sample_packed(
+    packed_rows: jnp.ndarray,  # (N, H*W, 4C) from pack_2x2
+    grid: jnp.ndarray,  # (N, P, 2) in [-1, 1]
+    h: int,
+    w: int,
+    onehot: bool = True,
+) -> jnp.ndarray:
+    """Bilinear sampling with ONE row fetch per point (4x fewer gathers
+    than the corner formulation; the TPU gather unit is issue-rate bound)."""
+    n, hw, c4 = packed_rows.shape
+    c = c4 // 4
+    idx, weights = _packed_terms(grid, h, w)
+    if onehot:
+        sparse = jax.nn.one_hot(idx, hw, dtype=packed_rows.dtype)
+        fetched = jnp.einsum("nph,nhc->npc", sparse, packed_rows)
+    else:
+        fetched = jnp.take_along_axis(packed_rows, idx[..., None], axis=1)
+    p = grid.shape[1]
+    fetched = fetched.reshape(n, p, 4, c)
+    return (fetched * weights[..., None].astype(packed_rows.dtype)).sum(axis=2)
+
+
 def grid_sample_rows(
     input_rows: jnp.ndarray,
     grid: jnp.ndarray,

@@ -42,6 +42,22 @@ def test_onehot_impl_matches_gather():
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_packed_impl_matches_gather():
+    """2x2-packed single-fetch sampling is value-identical to the corner
+    gathers, including border clamping and out-of-bounds zero padding."""
+    from s2d_tpu.ops.sampling import grid_sample_packed, grid_sample_rows, pack_2x2
+
+    rng = np.random.RandomState(6)
+    for (h, w) in [(5, 7), (9, 4), (2, 2)]:
+        rows = jnp.asarray(rng.randn(3, h * w, 4).astype(np.float32))
+        grid = jnp.asarray(rng.uniform(-1.4, 1.4, (3, 23, 2)).astype(np.float32))
+        ref = np.asarray(grid_sample_rows(rows, grid, h, w, impl="gather"))
+        packed = pack_2x2(rows, h, w)
+        for onehot in (True, False):
+            got = np.asarray(grid_sample_packed(packed, grid, h, w, onehot=onehot))
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_point_sample_matches_torch():
     rng = np.random.RandomState(3)
     x = rng.randn(2, 4, 10, 13).astype(np.float32)
