@@ -73,10 +73,11 @@ def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations, attention_wei
     assert len(spatial_shapes) == num_levels
     assert sum(h * w for h, w in spatial_shapes) == s
 
-    # 2x2-packed single-fetch sampling on TPU: one 4D-lane row per point
-    # instead of four D-lane corner rows (the gather unit is issue-rate
-    # bound, so 4x fewer rows ~= 4x faster; see PERFORMANCE.md)
-    use_packed = jax.default_backend() == "tpu"
+    # 2x2-packed single-fetch sampling (ops/sampling.py grid_sample_packed)
+    # was probed end-to-end and measured slightly SLOWER (37.6 vs 41.4
+    # frames/s) than the 4-corner combined-sparse einsum — the one-hot
+    # rewrite is not row-issue-rate bound. Kept off; primitive retained.
+    use_packed = False
 
     sampled_per_level = []
     start = 0
