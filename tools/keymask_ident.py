@@ -35,6 +35,9 @@ def parse_args(argv=None):
     parser.add_argument("--job-id", type=int, default=0)
     parser.add_argument("--videos-per-job", type=int, default=-1)
     parser.add_argument("--visibility-threshold", type=float, default=0.3)
+    parser.add_argument("--dbscan-min-samples", type=int, default=5,
+                        help="visibility-window DBSCAN min_samples "
+                             "(reference hardcodes 5)")
     parser.add_argument("--matching-threshold", type=float, default=0.5)
     parser.add_argument("--grid-size", type=int, default=50)
     parser.add_argument("--merge", action="store_true",
@@ -93,7 +96,19 @@ def process_video(args, video_dir: str, out_json: str) -> None:
     curves = np.asarray([r["visibility"] for r in records])
 
     # 2. visibility windows
-    windows = visibility_windows(curves, threshold=args.visibility_threshold) if len(curves) else []
+    windows = visibility_windows(
+        curves,
+        threshold=args.visibility_threshold,
+        min_samples=args.dbscan_min_samples,
+    ) if len(curves) else []
+
+    # 2b. export winner candidate masks (reference keymask_utils.py:70-128)
+    from s2d_tpu.keymask.export import save_candidate_masks
+
+    save_candidate_masks(
+        os.path.join(args.output_root, "candidates", name),
+        windows, records, masks_per_frame,
+    )
 
     # 3. temporal correspondence matching of winner candidates
     candidates = []  # (seed_frame, mask)
