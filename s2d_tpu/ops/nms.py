@@ -24,12 +24,16 @@ def mask_iou_matrix(masks: jnp.ndarray) -> jnp.ndarray:
       (N, N) float32 IoU (0 where union is empty).
     """
     n, t = masks.shape[0], masks.shape[1]
-    flat = masks.reshape(n, t, -1).astype(jnp.float32)
+    # bf16 inputs (0/1 exactly representable) with f32 accumulation: the
+    # fast MXU path, bit-exact for counts below 2^24
+    flat = masks.reshape(n, t, -1).astype(jnp.bfloat16)
 
     def frame_step(carry, frame):  # frame: (N, H*W)
         inter, area = carry
-        inter = inter + frame @ frame.T
-        area = area + frame.sum(axis=1)
+        inter = inter + jnp.matmul(
+            frame, frame.T, preferred_element_type=jnp.float32
+        )
+        area = area + frame.sum(axis=1, dtype=jnp.float32)
         return (inter, area), None
 
     (inter, area), _ = jax.lax.scan(
