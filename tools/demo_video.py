@@ -84,7 +84,9 @@ def main(argv=None):
         cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR) for f in raw
     ]).astype(np.float32)
 
-    model = build_model(cfg)
+    model = build_model(
+        cfg, flash_cross_attention=jax.default_backend() == "tpu"
+    )
     weights = args.weights or cfg.model.weights
     if weights and os.path.exists(weights):
         variables = load_reference_model(
