@@ -45,6 +45,7 @@ class VideoMaskFormer(nn.Module):
     swin_window: int = 7
     msda_impl: str = "xla"
     flash_cross_attention: bool = False  # Pallas flash decoder attn (eval)
+    grad_checkpoint: bool = False  # remat encoder layers (training memory)
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -81,6 +82,7 @@ class VideoMaskFormer(nn.Module):
             transformer_nheads=self.nheads,
             dropout=self.enc_dropout,
             msda_impl=self.msda_impl,
+            remat=self.grad_checkpoint,
             name="pixel_decoder",
         )(features, deterministic=deterministic)
 

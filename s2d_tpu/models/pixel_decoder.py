@@ -104,9 +104,14 @@ class MSDeformAttnEncoderLayer(nn.Module):
     n_points: int = 4
     dropout: float = 0.0
     impl: str = "xla"
+    # static per-instance so the remat-wrapped __call__ takes arrays only
+    spatial_shapes: Tuple[Tuple[int, int], ...] = ()
+    deterministic: bool = True
 
     @nn.compact
-    def __call__(self, src, pos, reference_points, spatial_shapes, deterministic=True):
+    def __call__(self, src, pos, reference_points):
+        spatial_shapes = self.spatial_shapes
+        deterministic = self.deterministic
         attn_out = MSDeformAttnModule(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             impl=self.impl, name="self_attn",
@@ -151,6 +156,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     transformer_in_features: Sequence[str] = ("res3", "res4", "res5")
     dropout: float = 0.0
     msda_impl: str = "xla"
+    remat: bool = False  # jax.checkpoint each encoder layer (training memory)
 
     @nn.compact
     def __call__(
@@ -182,9 +188,13 @@ class MSDeformAttnPixelDecoder(nn.Module):
         )
         ref_points = encoder_reference_points(spatial_shapes)
 
+        layer_cls = (
+            nn.remat(MSDeformAttnEncoderLayer) if self.remat
+            else MSDeformAttnEncoderLayer
+        )
         out_seq = src_flat
         for i in range(self.transformer_enc_layers):
-            out_seq = MSDeformAttnEncoderLayer(
+            out_seq = layer_cls(
                 d_model=self.conv_dim,
                 d_ffn=self.transformer_dim_feedforward,
                 n_levels=len(names_td),
@@ -192,8 +202,10 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 n_points=self.n_points,
                 dropout=self.dropout,
                 impl=self.msda_impl,
+                spatial_shapes=tuple(spatial_shapes),
+                deterministic=deterministic,
                 name=f"encoder_layer{i}",
-            )(out_seq, pos_flat, ref_points, spatial_shapes, deterministic)
+            )(out_seq, pos_flat, ref_points)
 
         # split back into per-level NHWC maps
         outs = []
