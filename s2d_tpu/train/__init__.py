@@ -4,6 +4,7 @@ from .schedules import (
     loss_weight_factors,
     warmup_multistep_lr,
 )
+from .scaling import apply_accum_lr_scale, auto_scale_workers
 from .trainer import (
     TrainState,
     create_train_state,

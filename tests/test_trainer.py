@@ -141,3 +141,38 @@ def test_kd_train_step_runs_and_updates():
     t_new = np.asarray(new_state.teacher_params["params"]["predictor"]["class_embed"]["kernel"])
     s_new = np.asarray(new_kernel)
     np.testing.assert_allclose(t_new, m * t_old + (1 - m) * s_new, rtol=1e-5, atol=1e-7)
+
+
+def test_auto_scale_workers():
+    from s2d_tpu.train.scaling import auto_scale_workers
+
+    cfg = load_config(None, opts=[
+        "SOLVER.IMS_PER_BATCH", "16",
+        "SOLVER.BASE_LR", "0.1",
+        "SOLVER.REFERENCE_WORLD_SIZE", "8",
+        "SOLVER.MAX_ITER", "5000",
+        "SOLVER.STEPS", "(4000,)",
+    ])
+    out = auto_scale_workers(cfg, 16)
+    # the d2 docstring example: 16 GPUs from a reference of 8
+    assert out.solver.ims_per_batch == 32
+    assert out.solver.base_lr == pytest.approx(0.2)
+    assert out.solver.max_iter == 2500
+    assert out.solver.steps == (2000,)
+    assert out.solver.reference_world_size == 16
+    # no-op cases
+    assert auto_scale_workers(cfg, 8) is cfg
+
+
+def test_accum_lr_scale():
+    from s2d_tpu.train.scaling import apply_accum_lr_scale
+
+    cfg = load_config(None, opts=[
+        "SOLVER.IMS_PER_BATCH", "4",
+        "SOLVER.BASE_LR", "0.000001",
+        "SOLVER.ACCUM_ITER", "4",
+    ])
+    out = apply_accum_lr_scale(cfg)
+    assert out.solver.base_lr == pytest.approx(1e-6 * 16 / 2)
+    cfg1 = load_config(None, opts=["SOLVER.ACCUM_ITER", "1"])
+    assert apply_accum_lr_scale(cfg1) is cfg1

@@ -53,6 +53,10 @@ def main(argv=None):
     from s2d_tpu.utils.events import MetricLogger
 
     cfg = load_config(args.config_file or None, args.opts)
+    from s2d_tpu.train.scaling import apply_accum_lr_scale, auto_scale_workers
+
+    cfg = auto_scale_workers(cfg, len(jax.devices()))
+    cfg = apply_accum_lr_scale(cfg)
     os.makedirs(cfg.output_dir, exist_ok=True)
 
     model = build_model(cfg)
