@@ -96,3 +96,15 @@ def test_box_detection_ap():
     m2 = evaluate_detections_boxes(gts, dts_off)
     assert m2["AP50"] == pytest.approx(1.0)
     assert m2["AP75"] == pytest.approx(0.0)
+
+
+def test_verify_results():
+    from s2d_tpu.evaluation.verify import verify_results
+
+    metrics = {"AP": 0.42, "AP50": 0.7}
+    assert verify_results([("segm", "AP", 0.42, 0.02)], metrics)
+    assert verify_results([], metrics)
+    with pytest.raises(AssertionError):
+        verify_results([("segm", "AP", 0.8, 0.02)], metrics)
+    with pytest.raises(AssertionError):
+        verify_results([("segm", "MISSING_METRIC", 0.5, 0.1)], metrics)

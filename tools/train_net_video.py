@@ -96,6 +96,10 @@ def main(argv=None):
             print(f"[{dataset_name}] " + "  ".join(
                 f"{k}: {v:.4f}" for k, v in metrics.items()
             ))
+            if cfg.test.expected_results:
+                from s2d_tpu.evaluation.verify import verify_results
+
+                verify_results(cfg.test.expected_results, metrics)
         return 0
 
     # ---- training ----
