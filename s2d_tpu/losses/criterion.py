@@ -174,9 +174,34 @@ def set_criterion(
         )
     ]
 
+    # batch the Hungarian solves of ALL layers into one vmapped auction —
+    # the while_loop then costs max(rounds) across layers, not the sum
+    # (the reference re-matches every aux layer too, criterion.py:417-425,
+    # but sequentially on the host)
+    n_layers = len(layer_outputs)
+    b = tgt_valid.shape[0]
+    all_costs = []
+    point_keys = []
     for idx, (aux_i, logits, masks) in enumerate(layer_outputs):
         rng, k_match, k_pts = jax.random.split(rng, 3)
-        assign = match_outputs(k_match, logits, masks, tgt_masks, tgt_valid, cfg)
+        point_keys.append(k_pts)
+        pred_pts, tgt_pts = sample_match_points(
+            k_match, masks.astype(jnp.float32), tgt_masks, cfg.num_points
+        )
+        all_costs.append(
+            match_costs(
+                logits, masks, tgt_pts, pred_pts, tgt_valid,
+                cfg.cost_class, cfg.cost_mask, cfg.cost_dice,
+            )
+        )
+    stacked_cost = jnp.concatenate(all_costs, axis=0)  # (L*B, Q, N)
+    stacked_valid = jnp.tile(tgt_valid, (n_layers, 1))
+    assigns = hungarian_assign(stacked_cost, stacked_valid)  # (L*B, N)
+    assigns = assigns.reshape(n_layers, b, -1)
+
+    for idx, (aux_i, logits, masks) in enumerate(layer_outputs):
+        k_pts = point_keys[idx]
+        assign = assigns[idx]
         # gather matched prediction masks per target slot: (B, N, T, H', W')
         src = jax.vmap(lambda m, a: m[a])(masks, assign)
 
