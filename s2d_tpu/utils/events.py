@@ -16,13 +16,39 @@ from typing import Dict, Optional
 
 
 class MetricLogger:
-    def __init__(self, output_dir: Optional[str] = None, period: int = 20):
+    def __init__(
+        self,
+        output_dir: Optional[str] = None,
+        period: int = 20,
+        tensorboard: bool = True,
+        wandb_project: Optional[str] = None,
+    ):
         self.period = period
         self.output_dir = output_dir
         self._json_path = None
+        self._tb = None
+        self._wandb = None
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
             self._json_path = os.path.join(output_dir, "metrics.json")
+            if tensorboard:
+                # optional sink (reference: TensorboardXWriter); absent lib
+                # silently degrades to json/console
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+
+                    self._tb = SummaryWriter(log_dir=output_dir)
+                except Exception:
+                    self._tb = None
+        if wandb_project:
+            # optional sink (reference: WandBWriter, train_net_video.py:277)
+            try:
+                import wandb
+
+                wandb.init(project=wandb_project, dir=output_dir)
+                self._wandb = wandb
+            except Exception:
+                self._wandb = None
         self._window: deque = deque(maxlen=period)
         self._last_flush = time.perf_counter()
 
@@ -33,6 +59,12 @@ class MetricLogger:
         if self._json_path:
             with open(self._json_path, "a") as f:
                 f.write(json.dumps(scalars) + "\n")
+        if self._tb is not None:
+            for k, v in scalars.items():
+                if k != "iteration":
+                    self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(scalars, step=step)
         if step % self.period == 0:
             self._print(step)
 
