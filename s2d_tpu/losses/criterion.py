@@ -31,8 +31,19 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.sampling import point_sample
+from ..ops.sampling import grid_sample_packed, pack_2x2, point_sample
 from .matcher import hungarian_assign, match_costs, sample_match_points
+
+
+def _point_sample_maps(maps: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Per-row bilinear sampling of single-channel maps via the 2x2-packed
+    single-fetch path: (R, H, W) maps + (R, P, 2) [0,1] coords -> (R, P).
+    One 4-lane row fetch per point instead of four 1-lane corner fetches —
+    per-row coords cannot share gathers, so fetch count is the lever."""
+    r, h, w = maps.shape
+    packed = pack_2x2(maps.reshape(r, h * w, 1), h, w)  # (R, HW, 4)
+    grid = 2.0 * coords - 1.0
+    return grid_sample_packed(packed, grid, h, w, onehot=False)[..., 0]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,7 +74,7 @@ def _uncertainty_points(
 
     k1, k2 = jax.random.split(rng)
     coords = jax.random.uniform(k1, (r, num_sampled, 2))
-    logits = point_sample(row_logits[:, None], coords)[:, 0]  # (R, S)
+    logits = _point_sample_maps(row_logits, coords)  # (R, S)
     uncertainty = -jnp.abs(logits)
     _, idx = jax.lax.top_k(uncertainty, num_uncertain)  # (R, U)
     chosen = jnp.take_along_axis(coords, idx[..., None], axis=1)
@@ -87,9 +98,9 @@ def _loss_masks(
     keep = row_keep.reshape(b * n * t).astype(jnp.float32)
 
     coords = jax.lax.stop_gradient(_uncertainty_points(rng, rows_src, cfg))
-    point_logits = point_sample(rows_src[:, None], coords)[:, 0]  # (R, P)
+    point_logits = _point_sample_maps(rows_src, coords)  # (R, P)
     point_labels = jax.lax.stop_gradient(
-        point_sample(rows_tgt[:, None].astype(jnp.float32), coords)[:, 0]
+        _point_sample_maps(rows_tgt.astype(jnp.float32), coords)
     )
 
     ce = jnp.maximum(point_logits, 0) - point_logits * point_labels + jax.nn.softplus(

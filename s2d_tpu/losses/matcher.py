@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.auction import auction_assign
-from ..ops.sampling import point_sample
+from ..ops.sampling import grid_sample_rows, point_sample
 
 
 def batch_sigmoid_ce_cost(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
@@ -132,13 +132,23 @@ def sample_match_points(
     b = pred_masks.shape[0]
     coords = jax.random.uniform(rng, (b, num_points, 2))
 
+    def shared_sample(maps, pts):
+        """All maps share ONE point set -> pack (C', H, W) maps as LANES of
+        a single row-gather: P row fetches of C' lanes instead of C'
+        separate 1-lane samplings (the matcher's memory-efficient trick is
+        also the TPU-efficient one)."""
+        cprime = maps.shape[0]
+        h, w = maps.shape[-2:]
+        rows = maps.reshape(cprime, h * w).T[None]  # (1, HW, C')
+        grid = (2.0 * pts - 1.0)[None]  # (1, P, 2)
+        out = grid_sample_rows(rows, grid, h, w, impl="gather")  # (1, P, C')
+        return out[0].T  # (C', P)
+
     def per_video(pm, tm, pts):
-        # pm: (Q, T, H', W') -> point_sample input (Q, T, H', W')
-        pp = point_sample(pm, jnp.broadcast_to(pts[None], (pm.shape[0],) + pts.shape))
-        tp = point_sample(
-            tm.astype(pm.dtype),
-            jnp.broadcast_to(pts[None], (tm.shape[0],) + pts.shape),
-        )
-        return pp.reshape(pm.shape[0], -1), tp.reshape(tm.shape[0], -1)
+        q, t = pm.shape[0], pm.shape[1]
+        n = tm.shape[0]
+        pp = shared_sample(pm.reshape(q * t, *pm.shape[2:]), pts)
+        tp = shared_sample(tm.astype(pm.dtype).reshape(n * t, *tm.shape[2:]), pts)
+        return pp.reshape(q, -1), tp.reshape(n, -1)
 
     return jax.vmap(per_video)(pred_masks, tgt_masks, coords)
