@@ -65,19 +65,30 @@ def _uncertainty_points(
     row_logits: jnp.ndarray,  # (R, H', W') prediction mask logits per row
     cfg: CriterionConfig,
 ) -> jnp.ndarray:
-    """Per-row point coords (R, P, 2) via oversample + top-uncertainty."""
-    r = row_logits.shape[0]
+    """Per-row point coords (R, P, 2) via oversample + top-uncertainty.
+
+    TPU adaptation: the uniform OVERSAMPLE POOL is shared across rows so
+    probing it is ONE lane-packed gather (S row fetches of R lanes) instead
+    of R separate single-channel samplings; the uncertainty top-k and the
+    resulting point sets remain PER ROW, as in the reference
+    (point_features.py:63-116 draws the pool iid per row — statistically
+    equivalent for a uniform pool, ~R x fewer gather rows)."""
+    r, h, w = row_logits.shape
     p = cfg.num_points
     num_sampled = int(p * cfg.oversample_ratio)
     num_uncertain = int(cfg.importance_sample_ratio * p)
     num_random = p - num_uncertain
 
     k1, k2 = jax.random.split(rng)
-    coords = jax.random.uniform(k1, (r, num_sampled, 2))
-    logits = _point_sample_maps(row_logits, coords)  # (R, S)
+    pool = jax.random.uniform(k1, (num_sampled, 2))  # shared across rows
+    rows = row_logits.reshape(r, h * w).T[None]  # (1, HW, R)
+    grid = (2.0 * pool - 1.0)[None]  # (1, S, 2)
+    from ..ops.sampling import grid_sample_rows
+
+    logits = grid_sample_rows(rows, grid, h, w, impl="gather")[0].T  # (R, S)
     uncertainty = -jnp.abs(logits)
     _, idx = jax.lax.top_k(uncertainty, num_uncertain)  # (R, U)
-    chosen = jnp.take_along_axis(coords, idx[..., None], axis=1)
+    chosen = pool[idx]  # (R, U, 2)
     if num_random > 0:
         extra = jax.random.uniform(k2, (r, num_random, 2))
         chosen = jnp.concatenate([chosen, extra], axis=1)
