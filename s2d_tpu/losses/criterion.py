@@ -60,39 +60,15 @@ class CriterionConfig:
     world_size: int = 1
 
 
-def _uncertainty_points(
-    rng: jax.Array,
-    row_logits: jnp.ndarray,  # (R, H', W') prediction mask logits per row
-    cfg: CriterionConfig,
-) -> jnp.ndarray:
-    """Per-row point coords (R, P, 2) via oversample + top-uncertainty.
-
-    TPU adaptation: the uniform OVERSAMPLE POOL is shared across rows so
-    probing it is ONE lane-packed gather (S row fetches of R lanes) instead
-    of R separate single-channel samplings; the uncertainty top-k and the
-    resulting point sets remain PER ROW, as in the reference
-    (point_features.py:63-116 draws the pool iid per row — statistically
-    equivalent for a uniform pool, ~R x fewer gather rows)."""
-    r, h, w = row_logits.shape
-    p = cfg.num_points
-    num_sampled = int(p * cfg.oversample_ratio)
-    num_uncertain = int(cfg.importance_sample_ratio * p)
-    num_random = p - num_uncertain
-
-    k1, k2 = jax.random.split(rng)
-    pool = jax.random.uniform(k1, (num_sampled, 2))  # shared across rows
-    rows = row_logits.reshape(r, h * w).T[None]  # (1, HW, R)
-    grid = (2.0 * pool - 1.0)[None]  # (1, S, 2)
+def _lane_packed_sample(maps: jnp.ndarray, pool: jnp.ndarray) -> jnp.ndarray:
+    """All rows share the coords: (R, H, W) maps, (S, 2) pool -> (R, S) via
+    ONE row-gather with rows packed as lanes."""
     from ..ops.sampling import grid_sample_rows
 
-    logits = grid_sample_rows(rows, grid, h, w, impl="gather")[0].T  # (R, S)
-    uncertainty = -jnp.abs(logits)
-    _, idx = jax.lax.top_k(uncertainty, num_uncertain)  # (R, U)
-    chosen = pool[idx]  # (R, U, 2)
-    if num_random > 0:
-        extra = jax.random.uniform(k2, (r, num_random, 2))
-        chosen = jnp.concatenate([chosen, extra], axis=1)
-    return chosen
+    r, h, w = maps.shape
+    rows = maps.reshape(r, h * w).T[None]  # (1, HW, R)
+    grid = (2.0 * pool - 1.0)[None]
+    return grid_sample_rows(rows, grid, h, w, impl="gather")[0].T
 
 
 def _loss_masks(
@@ -108,11 +84,39 @@ def _loss_masks(
     rows_tgt = tgt_masks.reshape(b * n * t, *tgt_masks.shape[3:])
     keep = row_keep.reshape(b * n * t).astype(jnp.float32)
 
-    coords = jax.lax.stop_gradient(_uncertainty_points(rng, rows_src, cfg))
-    point_logits = _point_sample_maps(rows_src, coords)  # (R, P)
-    point_labels = jax.lax.stop_gradient(
-        _point_sample_maps(rows_tgt.astype(jnp.float32), coords)
+    # PointRend sampling, TPU-shaped: probe a SHARED uniform pool with one
+    # lane-packed gather, select the per-row most-uncertain pool points
+    # (reusing the probed logits — identical values to re-sampling), and
+    # add per-row random points (the only remaining per-row gathers).
+    r = rows_src.shape[0]
+    p = cfg.num_points
+    num_sampled = int(p * cfg.oversample_ratio)
+    num_uncertain = int(cfg.importance_sample_ratio * p)
+    num_random = p - num_uncertain
+
+    k1, k2 = jax.random.split(rng)
+    pool = jax.random.uniform(k1, (num_sampled, 2))
+    pool_src = _lane_packed_sample(rows_src, pool)  # (R, S), grads flow
+    uncertainty = -jnp.abs(jax.lax.stop_gradient(pool_src))
+    _, idx = jax.lax.top_k(uncertainty, num_uncertain)  # (R, U)
+
+    logits_unc = jnp.take_along_axis(pool_src, idx, axis=1)  # (R, U)
+    pool_tgt = jax.lax.stop_gradient(
+        _lane_packed_sample(rows_tgt.astype(jnp.float32), pool)
     )
+    labels_unc = jnp.take_along_axis(pool_tgt, idx, axis=1)
+
+    if num_random > 0:
+        rand_coords = jax.random.uniform(k2, (r, num_random, 2))
+        logits_rnd = _point_sample_maps(rows_src, rand_coords)
+        labels_rnd = jax.lax.stop_gradient(
+            _point_sample_maps(rows_tgt.astype(jnp.float32), rand_coords)
+        )
+        point_logits = jnp.concatenate([logits_unc, logits_rnd], axis=1)
+        point_labels = jnp.concatenate([labels_unc, labels_rnd], axis=1)
+    else:
+        point_logits = logits_unc
+        point_labels = labels_unc
 
     ce = jnp.maximum(point_logits, 0) - point_logits * point_labels + jax.nn.softplus(
         -jnp.abs(point_logits)
