@@ -1,0 +1,237 @@
+"""CutLER detector training: solver, jit train step, cascade inference.
+
+Rebuild of the reference's CutLER trainer stack:
+  * solver with BASE_LR_MULTIPLIER / BASE_LR_MULTIPLIER_NAMES
+    (`/root/reference/model_training/cutler/solver/build.py:123-142`):
+    SGD+momentum where any parameter whose dotted name contains one of the
+    multiplier names gets lr * multiplier.
+  * one jit train step = forward + RPN/cascade-ROI(+DropLoss)/mask losses
+    (`cutler/engine/train_loop.py`), bf16-free (detector is small; f32).
+  * cascade inference (`detectron2` CascadeROIHeads semantics): class
+    scores averaged over the three stages, boxes from the last stage,
+    score threshold + NMS + top-k — fixed shape with a validity mask.
+  * host-side image mapper: shortest-edge resize + hflip + fixed square
+    pad, targets as padded boxes/labels/masks
+    (`cutler/data/dataset_mapper.py`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.cutler import (
+    CutlerConfig,
+    mask_loss,
+    roi_losses,
+    rpn_losses,
+)
+from ..ops.boxes import box_nms
+from .schedules import warmup_multistep_lr
+
+
+@dataclasses.dataclass(frozen=True)
+class CutlerTrainerConfig:
+    # model
+    rcnn: CutlerConfig = CutlerConfig()
+    pixel_mean: Tuple[float, ...] = (123.675, 116.280, 103.530)
+    pixel_std: Tuple[float, ...] = (58.395, 57.120, 57.375)
+    # data
+    image_size: int = 512          # fixed square pad (static shapes)
+    min_size_train: int = 480
+    max_instances: int = 32
+    flip: bool = True
+    copy_paste: bool = False
+    # solver (reference cutler Base config: SGD, momentum 0.9)
+    base_lr: float = 0.01
+    momentum: float = 0.9
+    weight_decay: float = 5e-5
+    base_lr_multiplier: float = 1.0
+    base_lr_multiplier_names: Tuple[str, ...] = ()
+    steps: Tuple[int, ...] = (60000,)
+    gamma: float = 0.1
+    warmup_iters: int = 1000
+    warmup_factor: float = 0.001
+    max_iter: int = 80000
+    clip_value: float = 0.0        # 0 = no clipping (d2 cutler default)
+    # test
+    score_thresh: float = 0.005
+    nms_thresh: float = 0.5
+    detections_per_image: int = 100
+    no_segm: bool = False
+
+
+def build_cutler_optimizer(
+    params,
+    cfg: CutlerTrainerConfig,
+) -> optax.GradientTransformation:
+    """SGD+momentum with per-name LR multipliers.
+
+    Reference `cutler/solver/build.py:123-142`: for each named parameter,
+    if any entry of BASE_LR_MULTIPLIER_NAMES is a substring of the full
+    dotted name, its lr becomes base_lr * BASE_LR_MULTIPLIER."""
+    names = cfg.base_lr_multiplier_names
+
+    def label(path, leaf):
+        full = ".".join(
+            str(getattr(p, "key", getattr(p, "name", p))) for p in path
+        )
+        return "mult" if any(n in full for n in names) else "base"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    mult_tree = jax.tree_util.tree_map(
+        lambda l: cfg.base_lr_multiplier if l == "mult" else 1.0, labels
+    )
+
+    schedule = warmup_multistep_lr(
+        cfg.base_lr, cfg.steps, cfg.gamma, cfg.warmup_iters, cfg.warmup_factor
+    )
+
+    def scale_by_tree(updates, state, params=None):
+        return (
+            jax.tree_util.tree_map(lambda u, m: u * m, updates, mult_tree),
+            state,
+        )
+
+    chain = [
+        optax.clip_by_global_norm(cfg.clip_value)
+        if cfg.clip_value > 0
+        else optax.identity(),
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.trace(decay=cfg.momentum),
+        optax.GradientTransformation(lambda p: optax.EmptyState(), scale_by_tree),
+        optax.scale_by_learning_rate(schedule),
+    ]
+    return optax.chain(*chain)
+
+
+def make_cutler_train_step(model, cfg: CutlerTrainerConfig, tx):
+    """Returns jit-able step(params, opt_state, image, gt_boxes,
+    gt_labels, gt_valid, gt_masks) -> (params, opt_state, metrics)."""
+
+    def loss_fn(params, image, gt_boxes, gt_labels, gt_valid, gt_masks):
+        out = model.apply(params, image)
+        losses = {}
+        losses.update(rpn_losses(out, gt_boxes, gt_valid,
+                                 cfg.rcnn.rpn_pos_iou, cfg.rcnn.rpn_neg_iou))
+        losses.update(roi_losses(out, gt_boxes, gt_labels, gt_valid, cfg.rcnn))
+        if cfg.rcnn.mask_on and not cfg.no_segm:
+            losses.update(mask_loss(out, gt_masks, gt_boxes, gt_valid, cfg.rcnn))
+        total = sum(losses.values())
+        return total, losses
+
+    def step_fn(params, opt_state, image, gt_boxes, gt_labels,
+                gt_valid, gt_masks):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, image, gt_boxes, gt_labels, gt_valid, gt_masks
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        return params, opt_state, metrics
+
+    return step_fn
+
+
+def cascade_detections(
+    out: Dict,
+    num_classes: int,
+    score_thresh: float,
+    nms_thresh: float,
+    topk: int,
+):
+    """Cascade R-CNN inference (d2 CascadeROIHeads): per-proposal class
+    probability = MEAN of the softmaxed scores over the 3 stages; boxes are
+    the final refined boxes. Fixed shape: returns (boxes (K,4), scores (K,),
+    classes (K,), valid (K,)) with K = topk."""
+    probs = jnp.mean(
+        jnp.stack(
+            [jax.nn.softmax(s["scores"].astype(jnp.float32), -1)
+             for s in out["stages"]]
+        ),
+        axis=0,
+    )[:, :num_classes]  # drop background column
+    scores = probs.max(axis=-1)
+    classes = probs.argmax(axis=-1)
+    boxes = out["final_boxes"]
+
+    keep = box_nms(boxes, scores, nms_thresh) & (scores > score_thresh)
+    scores = jnp.where(keep, scores, -jnp.inf)
+    k = min(topk, scores.shape[0])
+    top_scores, idx = jax.lax.top_k(scores, k)
+    valid = jnp.isfinite(top_scores)
+    return boxes[idx], jnp.where(valid, top_scores, 0.0), classes[idx], valid
+
+
+# ---------------------------------------------------------------- mapper
+
+def map_image_record(
+    record: dict,
+    cfg: CutlerTrainerConfig,
+    rng: Optional[np.random.RandomState] = None,
+    is_train: bool = True,
+) -> Optional[dict]:
+    """Host-side: read + resize (shortest edge, capped at image_size) +
+    optional hflip + pad to (image_size, image_size); targets padded to
+    max_instances. Returns numpy sample dict or None (unreadable image)."""
+    from ..data.mapper import load_image_robust
+    from ..data.rle import decode as rle_decode, polygons_to_mask
+
+    rng = rng or np.random.RandomState(0)
+    try:
+        img = load_image_robust(record["file_name"])
+    except Exception:
+        return None
+    h, w = img.shape[:2]
+    size = cfg.min_size_train if is_train else cfg.image_size
+    scale = min(size / min(h, w), cfg.image_size / max(h, w))
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    import cv2
+
+    img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    flip = is_train and cfg.flip and rng.rand() < 0.5
+    if flip:
+        img = img[:, ::-1]
+
+    s = cfg.image_size
+    canvas = np.zeros((s, s, 3), np.float32)
+    canvas[:nh, :nw] = img
+    canvas = (canvas - np.asarray(cfg.pixel_mean)) / np.asarray(cfg.pixel_std)
+
+    n = cfg.max_instances
+    boxes = np.zeros((n, 4), np.float32)
+    labels = np.zeros((n,), np.int32)
+    valid = np.zeros((n,), bool)
+    masks = np.zeros((n, s, s), bool)
+    for i, ann in enumerate(record.get("annotations", [])[:n]):
+        x0, y0, x1, y1 = [c * scale for c in ann["bbox"]]
+        if flip:
+            x0, x1 = nw - x1, nw - x0
+        boxes[i] = [x0, y0, x1, y1]
+        labels[i] = ann["category_id"]
+        valid[i] = True
+        seg = ann.get("segmentation")
+        if seg is not None:
+            if isinstance(seg, dict):
+                m = rle_decode(seg).astype(np.uint8)
+            else:
+                m = polygons_to_mask(seg, record["height"], record["width"]).astype(np.uint8)
+            m = cv2.resize(m, (nw, nh), interpolation=cv2.INTER_NEAREST)
+            if flip:
+                m = m[:, ::-1]
+            masks[i, :nh, :nw] = m.astype(bool)
+    return {
+        "image": canvas,
+        "boxes": boxes,
+        "labels": labels,
+        "valid": valid,
+        "masks": masks,
+        "image_id": record.get("image_id", 0),
+        "scale": scale,
+        "orig_hw": (h, w),
+    }

@@ -36,7 +36,11 @@ def warmup_multistep_lr(
         step = jnp.asarray(step, jnp.float32)
         decay = gamma ** jnp.sum(step >= milestones)
         alpha = jnp.clip(step / max(warmup_iters, 1), 0.0, 1.0)
-        warmup = warmup_factor * (1.0 - alpha) + alpha
+        # d2 WarmupParamScheduler: no damping once step >= warmup_iters
+        # (covers warmup_iters == 0, where alpha alone would damp step 0)
+        warmup = jnp.where(
+            step >= warmup_iters, 1.0, warmup_factor * (1.0 - alpha) + alpha
+        )
         return base_lr * decay * warmup
 
     return schedule

@@ -1,0 +1,134 @@
+"""CutLER trainer: LR-multiplier-names solver semantics, cascade inference
+shape/ordering, COCO loader, and the train_net.py CLI end-to-end on a
+synthetic dataset (2 train steps + eval-only)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_base_lr_multiplier_names():
+    """Params whose dotted name contains a multiplier name step at
+    base_lr * multiplier; everything else at base_lr (reference
+    cutler/solver/build.py:123-142)."""
+    from s2d_tpu.train.cutler_trainer import (
+        CutlerTrainerConfig,
+        build_cutler_optimizer,
+    )
+
+    cfg = CutlerTrainerConfig(
+        base_lr=1.0,
+        momentum=0.0,
+        weight_decay=0.0,
+        warmup_iters=0,
+        steps=(10_000,),
+        base_lr_multiplier=0.25,
+        base_lr_multiplier_names=("roi_heads",),
+    )
+    params = {
+        "backbone": {"w": jnp.ones((3,))},
+        "roi_heads": {"box": {"w": jnp.ones((3,))}},
+    }
+    tx = build_cutler_optimizer(params, cfg)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(updates["backbone"]["w"]), -1.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(updates["roi_heads"]["box"]["w"]), -0.25, rtol=1e-6
+    )
+
+
+def test_cascade_detections_ordering():
+    from s2d_tpu.train.cutler_trainer import cascade_detections
+
+    # two proposals: the high-scoring one must come first and suppress its
+    # duplicate; the far box survives
+    boxes = jnp.asarray([[0.0, 0, 10, 10], [1, 1, 11, 11], [30, 30, 40, 40]])
+    mk = lambda p: jnp.log(jnp.asarray(p))
+    stages = [
+        {"scores": mk([[0.9, 0.1], [0.6, 0.4], [0.7, 0.3]])}
+        for _ in range(3)
+    ]
+    out = {"stages": stages, "final_boxes": boxes}
+    b, s, c, v = cascade_detections(out, 1, 0.01, 0.5, 3)
+    v = np.asarray(v)
+    assert v[0] and v[1] and not v[2]  # duplicate suppressed
+    assert float(s[0]) == pytest.approx(0.9, abs=1e-5)
+    np.testing.assert_allclose(np.asarray(b[1]), [30, 30, 40, 40])
+
+
+@pytest.fixture(scope="module")
+def synthetic_coco(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    img_dir = root / "imgs"
+    img_dir.mkdir()
+    import cv2
+
+    images, annotations = [], []
+    for i in range(3):
+        img = np.full((48, 64, 3), 30, np.uint8)
+        img[8:30, 10:40] = 220
+        cv2.imwrite(str(img_dir / f"{i}.jpg"), img)
+        images.append({"id": i + 1, "file_name": f"{i}.jpg",
+                       "height": 48, "width": 64})
+        annotations.append({
+            "id": i + 1, "image_id": i + 1, "category_id": 1,
+            "bbox": [10, 8, 30, 22], "area": 660, "iscrowd": 0,
+            "segmentation": [[10, 8, 40, 8, 40, 30, 10, 30]],
+        })
+    data = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "fg"}],
+    }
+    json_path = root / "train.json"
+    json_path.write_text(json.dumps(data))
+    return str(json_path), str(img_dir)
+
+
+def test_coco_loader(synthetic_coco):
+    from s2d_tpu.data.coco import load_coco_json
+
+    json_path, img_dir = synthetic_coco
+    dicts, meta = load_coco_json(json_path, img_dir, class_agnostic=True)
+    assert len(dicts) == 3
+    assert meta["thing_classes"] == ["fg"]
+    ann = dicts[0]["annotations"][0]
+    assert ann["bbox"] == [10.0, 8.0, 40.0, 30.0]  # xywh -> xyxy
+
+
+def test_train_net_cli_e2e(synthetic_coco, tmp_path):
+    from s2d_tpu.data.coco import register_coco
+    from tools.train_net import main
+
+    json_path, img_dir = synthetic_coco
+    register_coco("synthetic_train", json_path, img_dir, class_agnostic=True)
+    out = str(tmp_path / "out")
+    argv = [
+        "--train-dataset", "synthetic_train",
+        "--test-dataset", "synthetic_train",
+        "--output-dir", out,
+        "--max-iter", "2",
+        "--image-size", "64",
+        "--max-instances", "4",
+        "--num-proposals", "16",
+        "--base-lr", "0.001",
+        "--lr-multiplier", "0.5",
+        "--lr-multiplier-names", "mask_head",
+    ]
+    assert main(argv) == 0
+    assert os.path.exists(os.path.join(out, "metrics.json"))
+    # eval-only over the same output dir exercises detection + box AP
+    assert main([
+        "--eval-only",
+        "--test-dataset", "synthetic_train",
+        "--output-dir", out,
+        "--image-size", "64",
+        "--max-instances", "4",
+        "--num-proposals", "16",
+    ]) == 0

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""CutLER image-detector trainer/evaluator — CLI surface of the reference's
+`cutler/train_net.py` (`/root/reference/model_training/cutler/train_net.py`
++ extended arg parser `cutler/engine/defaults.py:113-184`):
+
+  python tools/train_net.py --train-dataset NAME --test-dataset NAME
+      [--eval-only] [--resume] [--no-segm] [--max-iter N] [opts KEY VALUE]
+
+Differences by design: single-process JAX (no detectron2 launch), SGD step
+jit-compiled, orbax checkpoints, box-AP eval via the generic accumulator
+(`s2d_tpu/evaluation/ytvos_eval.evaluate_detections_boxes`).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="s2d_tpu CutLER trainer")
+    p.add_argument("--train-dataset", default="imagenet_train_cls_agnostic")
+    p.add_argument("--test-dataset", default="cls_agnostic_coco")
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--no-segm", action="store_true",
+                   help="skip mask head training/eval (reference TEST.NO_SEGM)")
+    p.add_argument("--output-dir", default="./output_cutler")
+    p.add_argument("--max-iter", type=int, default=None)
+    p.add_argument("--max-images", type=int, default=None, help="cap eval images")
+    p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--max-instances", type=int, default=None)
+    p.add_argument("--num-proposals", type=int, default=None)
+    p.add_argument("--base-lr", type=float, default=None)
+    p.add_argument("--lr-multiplier", type=float, default=None,
+                   help="SOLVER.BASE_LR_MULTIPLIER")
+    p.add_argument("--lr-multiplier-names", nargs="*", default=None,
+                   help="SOLVER.BASE_LR_MULTIPLIER_NAMES (substring match)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from s2d_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from s2d_tpu.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+    from s2d_tpu.data.coco import get_coco_dataset
+    from s2d_tpu.evaluation.ytvos_eval import evaluate_detections_boxes
+    from s2d_tpu.models.cutler import CutlerConfig, CutlerRCNN
+    from s2d_tpu.train.cutler_trainer import (
+        CutlerTrainerConfig,
+        build_cutler_optimizer,
+        cascade_detections,
+        make_cutler_train_step,
+        map_image_record,
+    )
+    from s2d_tpu.utils.events import MetricLogger
+
+    rcnn_over = {}
+    if args.num_proposals:
+        rcnn_over["num_proposals"] = args.num_proposals
+    over = {"no_segm": args.no_segm, "rcnn": CutlerConfig(**rcnn_over)}
+    if args.max_iter is not None:
+        over["max_iter"] = args.max_iter
+    if args.image_size is not None:
+        over["image_size"] = args.image_size
+        over["min_size_train"] = args.image_size
+    if args.max_instances is not None:
+        over["max_instances"] = args.max_instances
+    if args.base_lr is not None:
+        over["base_lr"] = args.base_lr
+    if args.lr_multiplier is not None:
+        over["base_lr_multiplier"] = args.lr_multiplier
+    if args.lr_multiplier_names is not None:
+        over["base_lr_multiplier_names"] = tuple(args.lr_multiplier_names)
+    cfg = CutlerTrainerConfig(**over)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    model = CutlerRCNN(cfg=cfg.rcnn)
+    sample = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
+    ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+
+    if not args.eval_only:
+        dicts, _ = get_coco_dataset(args.train_dataset)
+        tx = build_cutler_optimizer(params, cfg)
+        opt_state = tx.init(params)
+        start = 0
+        if args.resume:
+            step = latest_step(ckpt_dir)
+            if step is not None:
+                params, opt_state = restore_checkpoint(
+                    ckpt_dir, (params, opt_state), step
+                )
+                start = step
+                print(f"Resumed from checkpoint step {step}")
+        step_fn = jax.jit(make_cutler_train_step(model, cfg, tx))
+        logger = MetricLogger(args.output_dir)
+        rng = np.random.RandomState(0)
+        it = start
+        while it < cfg.max_iter:
+            record = dicts[rng.randint(len(dicts))]
+            s = map_image_record(record, cfg, rng, is_train=True)
+            if s is None:
+                continue
+            params, opt_state, metrics = step_fn(
+                params, opt_state,
+                jnp.asarray(s["image"])[None],
+                jnp.asarray(s["boxes"]), jnp.asarray(s["labels"]),
+                jnp.asarray(s["valid"]), jnp.asarray(s["masks"]),
+            )
+            logger.log(it, {k: float(v) for k, v in metrics.items()})
+            it += 1
+            if it % 5000 == 0 or it == cfg.max_iter:
+                save_checkpoint(ckpt_dir, it, (params, opt_state))
+    else:
+        step = latest_step(ckpt_dir)
+        if step is not None:
+            tx = build_cutler_optimizer(params, cfg)
+            params, _ = restore_checkpoint(ckpt_dir, (params, tx.init(params)), step)
+            print(f"Loaded checkpoint step {step}")
+
+    # ---- evaluation (box AP; reference COCOEvaluator w/ no_segm) ----
+    dicts, meta = get_coco_dataset(args.test_dataset)
+    if args.max_images:
+        dicts = dicts[: args.max_images]
+    num_classes = max(len(meta["thing_classes"]), 1)
+
+    @jax.jit
+    def infer(params, image):
+        out = model.apply(params, image)
+        return cascade_detections(
+            out, cfg.rcnn.num_classes, cfg.score_thresh,
+            cfg.nms_thresh, cfg.detections_per_image,
+        )
+
+    gts, preds = [], []
+    for record in dicts:
+        s = map_image_record(record, cfg, is_train=False)
+        if s is None:
+            continue
+        boxes, scores, classes, valid = infer(params, jnp.asarray(s["image"])[None])
+        boxes = np.asarray(boxes) / s["scale"]
+        scores, classes = np.asarray(scores), np.asarray(classes)
+        for b, sc, cl, v in zip(boxes, scores, classes, np.asarray(valid)):
+            if v:
+                preds.append({
+                    "image_id": record["image_id"],
+                    "category_id": int(cl),
+                    "bbox": [float(x) for x in b],
+                    "score": float(sc),
+                })
+        for ann in record.get("annotations", []):
+            gts.append({
+                "image_id": record["image_id"],
+                "category_id": ann["category_id"],
+                "bbox": ann["bbox"],
+                "iscrowd": ann.get("iscrowd", 0),
+            })
+    metrics = evaluate_detections_boxes(gts, preds, use_cats=num_classes > 1)
+    print(f"[{args.test_dataset}] " + "  ".join(
+        f"{k}: {v:.4f}" for k, v in metrics.items()
+    ))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
