@@ -56,6 +56,8 @@ def postprocess_video(
     q = pred_logits.shape[0]
     scores = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)[:, :-1]
     flat_scores = scores.reshape(-1)  # (Q*K)
+    # clamp: configs with Q*K < NUM_PREDICTIONS (tiny models) keep working
+    num_predictions = min(num_predictions, flat_scores.shape[0])
     top_scores, top_idx = jax.lax.top_k(flat_scores, num_predictions)
     labels = top_idx % num_classes
     query_idx = top_idx // num_classes

@@ -47,6 +47,10 @@ class VideoMaskFormer(nn.Module):
     flash_cross_attention: bool = False  # Pallas flash decoder attn (eval)
     grad_checkpoint: bool = False  # remat encoder layers (training memory)
     compute_dtype: Any = jnp.float32
+    # legacy (MaskFormer-v1) alternatives, cfg PIXEL_DECODER_NAME /
+    # TRANSFORMER_DECODER_NAME (reference mask_former_head.py:118-132)
+    pixel_decoder_type: str = "msdeformattn"  # | "fpn" | "transformer_encoder"
+    decoder_type: str = "mask2former"  # | "maskformer_v1"
 
     @nn.compact
     def __call__(
@@ -75,16 +79,32 @@ class VideoMaskFormer(nn.Module):
                 name="backbone",
             )(frames)
 
-        mask_features, ms_feats = MSDeformAttnPixelDecoder(
-            conv_dim=self.hidden_dim,
-            mask_dim=self.mask_dim,
-            transformer_enc_layers=self.transformer_enc_layers,
-            transformer_nheads=self.nheads,
-            dropout=self.enc_dropout,
-            msda_impl=self.msda_impl,
-            remat=self.grad_checkpoint,
-            name="pixel_decoder",
-        )(features, deterministic=deterministic)
+        if self.pixel_decoder_type == "fpn":
+            from .legacy import BasePixelDecoder
+
+            mask_features, ms_feats = BasePixelDecoder(
+                conv_dim=self.hidden_dim, mask_dim=self.mask_dim,
+                name="pixel_decoder",
+            )(features, deterministic=deterministic)
+        elif self.pixel_decoder_type == "transformer_encoder":
+            from .legacy import TransformerEncoderPixelDecoder
+
+            mask_features, ms_feats = TransformerEncoderPixelDecoder(
+                conv_dim=self.hidden_dim, mask_dim=self.mask_dim,
+                enc_layers=self.transformer_enc_layers, nheads=self.nheads,
+                dim_feedforward=self.dim_feedforward, name="pixel_decoder",
+            )(features, deterministic=deterministic)
+        else:
+            mask_features, ms_feats = MSDeformAttnPixelDecoder(
+                conv_dim=self.hidden_dim,
+                mask_dim=self.mask_dim,
+                transformer_enc_layers=self.transformer_enc_layers,
+                transformer_nheads=self.nheads,
+                dropout=self.enc_dropout,
+                msda_impl=self.msda_impl,
+                remat=self.grad_checkpoint,
+                name="pixel_decoder",
+            )(features, deterministic=deterministic)
 
         # fp32 pixel-decoder island ends here; decoder runs in compute dtype
         ms_video = [
@@ -92,6 +112,20 @@ class VideoMaskFormer(nn.Module):
         ]
         mask_features = mask_features.astype(self.compute_dtype)
         mask_features = mask_features.reshape(b, t, *mask_features.shape[1:])
+
+        if self.decoder_type == "maskformer_v1":
+            from .legacy import StandardTransformerDecoder
+
+            return StandardTransformerDecoder(
+                num_classes=self.num_classes,
+                hidden_dim=self.hidden_dim,
+                num_queries=self.num_queries,
+                nheads=self.nheads,
+                dim_feedforward=self.dim_feedforward,
+                dec_layers=max(self.dec_layers - 1, 1),
+                mask_dim=self.mask_dim,
+                name="predictor",
+            )(ms_video, mask_features)
 
         out = VideoMaskedTransformerDecoder(
             num_classes=self.num_classes,
@@ -115,7 +149,20 @@ def build_model(
 ) -> VideoMaskFormer:
     mf = cfg.model.mask_former
     is_swin = "swin" in cfg.model.backbone.name.lower()
+    pd_name = cfg.model.sem_seg_head.pixel_decoder_name
+    pixel_decoder_type = {
+        "BasePixelDecoder": "fpn",
+        "TransformerEncoderPixelDecoder": "transformer_encoder",
+    }.get(pd_name, "msdeformattn")
+    decoder_type = (
+        "maskformer_v1"
+        if mf.transformer_decoder_name == "StandardTransformerDecoder"
+        or mf.transformer_in_feature == "transformer_encoder"
+        else "mask2former"
+    )
     return VideoMaskFormer(
+        pixel_decoder_type=pixel_decoder_type,
+        decoder_type=decoder_type,
         flash_cross_attention=flash_cross_attention,
         backbone_type="swin" if is_swin else "resnet",
         swin_embed_dim=cfg.model.swin.embed_dim,
