@@ -128,7 +128,20 @@ def main(argv=None):
 
     dicts = []
     for name in cfg.datasets.train:
-        d, _ = get_dataset(name)
+        try:
+            d, _ = get_dataset(name)
+        except KeyError:
+            # COCO-registered image sets train the video model as
+            # pseudo-clips (reference CocoClipDatasetMapper via the
+            # multi-dataset concat, train_net_video.py:103-116)
+            from s2d_tpu.data.coco import get_coco_dataset
+            from s2d_tpu.data.image_datasets import coco_to_clip_record
+
+            imgs, _ = get_coco_dataset(name)
+            d = [
+                coco_to_clip_record(r, cfg.input.sampling_frame_num)
+                for r in imgs
+            ]
         dicts.extend(d)
     mapper = ClipMapper(MapperConfig.from_config(cfg, is_train=True),
                         is_train=True, seed=max(cfg.seed, 0))
