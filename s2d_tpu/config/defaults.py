@@ -172,6 +172,10 @@ class SolverConfig:
     gamma: float = 0.1
     lr_scheduler_name: str = "WarmupMultiStepLR"
     reference_world_size: int = 0
+    # remat the deformable encoder layers during training (recompute in the
+    # backward pass): trades ~1 extra encoder forward for the activation
+    # HBM that otherwise OOMs the full R50 KD step on a 16G chip
+    grad_checkpoint: bool = True
     clip_gradients: ClipGradientsConfig = field(default_factory=ClipGradientsConfig)
     amp: AMPConfig = field(default_factory=AMPConfig)
 

@@ -146,6 +146,7 @@ def build_model(
     msda_impl: str | None = None,
     compute_dtype=None,
     flash_cross_attention: bool = False,
+    grad_checkpoint: bool = False,
 ) -> VideoMaskFormer:
     mf = cfg.model.mask_former
     is_swin = "swin" in cfg.model.backbone.name.lower()
@@ -163,6 +164,7 @@ def build_model(
     return VideoMaskFormer(
         pixel_decoder_type=pixel_decoder_type,
         decoder_type=decoder_type,
+        grad_checkpoint=grad_checkpoint,
         flash_cross_attention=flash_cross_attention,
         backbone_type="swin" if is_swin else "resnet",
         swin_embed_dim=cfg.model.swin.embed_dim,

@@ -153,7 +153,10 @@ def grid_sample_rows(
     """
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        impl = "onehot" if (on_tpu and h * w <= 8192) else "gather"
+        # cutoff measured on v5e: at H*W=14400 (N=64, P=75K, D=32) onehot
+        # runs 144 ms vs 770 ms gather (5.3x) — large-eval inputs whose res3
+        # level exceeds 8192 rows stay on the fast path
+        impl = "onehot" if (on_tpu and h * w <= 16384) else "gather"
 
     dtype = input_rows.dtype
     corners = _corner_terms(grid, h, w)

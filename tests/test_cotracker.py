@@ -1,0 +1,80 @@
+"""CoTracker-style neural tracker: protocol compliance, query-frame
+anchoring, and torch state_dict converter roundtrip."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny_net():
+    from s2d_tpu.keymask.cotracker import CoTrackerNet
+
+    net = CoTrackerNet(latent_dim=16, dim=32, heads=4, depth=1, iters=2,
+                       levels=2, radius=1)
+    params = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((3, 64, 64, 3)), jnp.zeros((8, 2)), 0
+    )
+    return net, params
+
+
+def test_forward_shapes_and_anchoring(tiny_net):
+    net, params = tiny_net
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (3, 64, 64, 3))
+    queries = jnp.asarray([[10.0, 20.0], [40.0, 12.0]] + [[32.0, 32.0]] * 6)
+    tracks, vis = net.apply(params, frames, queries, 1)
+    assert tracks.shape == (3, 8, 2)
+    assert vis.shape == (3, 8)
+    assert np.isfinite(np.asarray(tracks)).all()
+    assert (np.asarray(vis) >= 0).all() and (np.asarray(vis) <= 1).all()
+    # the query frame is anchored exactly at the query coordinates
+    np.testing.assert_allclose(np.asarray(tracks[1]), np.asarray(queries),
+                               atol=1e-4)
+
+
+def test_protocol_wrapper(tiny_net):
+    from s2d_tpu.keymask.cotracker import CoTrackerTracker
+
+    net, params = tiny_net
+    tracker = CoTrackerTracker(params=params, net=net, interp_h=64,
+                               interp_w=64, point_bucket=8)
+    video = np.random.RandomState(0).randint(0, 255, (3, 48, 96, 3), np.uint8)
+    queries = np.asarray([[12.0, 10.0], [80.0, 40.0], [50.0, 24.0]])
+    tracks, vis = tracker.track(video, queries, query_frame=0)
+    assert tracks.shape == (3, 3, 2)
+    assert vis.shape == (3, 3)
+    # anchored at the query frame in ORIGINAL pixel coords
+    np.testing.assert_allclose(tracks[0], queries, atol=0.5)
+
+
+def test_converter_roundtrip(tiny_net):
+    from s2d_tpu.keymask.cotracker import (
+        convert_cotracker_state_dict,
+        to_torch_state_dict,
+    )
+
+    net, params = tiny_net
+    sd = to_torch_state_dict(params)
+    assert any(k.startswith("fnet.") for k in sd)
+    assert any(k.startswith("updateformer.") for k in sd)
+    restored = convert_cotracker_state_dict(sd, params)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(restored)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_converter_reports_mismatch(tiny_net):
+    from s2d_tpu.keymask.cotracker import (
+        convert_cotracker_state_dict,
+        to_torch_state_dict,
+    )
+
+    net, params = tiny_net
+    sd = to_torch_state_dict(params)
+    sd.pop(sorted(sd)[0])
+    sd["bogus.extra"] = np.zeros((1,))
+    with pytest.raises(ValueError, match="key mismatch"):
+        convert_cotracker_state_dict(sd, params)

@@ -40,6 +40,11 @@ def parse_args(argv=None):
                              "(reference hardcodes 5)")
     parser.add_argument("--matching-threshold", type=float, default=0.5)
     parser.add_argument("--grid-size", type=int, default=50)
+    parser.add_argument("--tracker", choices=("correlation", "cotracker"),
+                        default="correlation",
+                        help="point tracker backend (PointTracker protocol)")
+    parser.add_argument("--tracker-checkpoint", default="",
+                        help="CoTracker .pth to import (--tracker cotracker)")
     parser.add_argument("--merge", action="store_true",
                         help="after the loop, merge per-video JSONs")
     parser.add_argument("--one2x-threshold", type=int, default=None)
@@ -87,7 +92,12 @@ def process_video(args, video_dir: str, out_json: str) -> None:
                 next_overall += 1
         masks_per_frame.append(frame_masks)
 
-    tracker = CorrelationTracker()
+    if args.tracker == "cotracker":
+        from s2d_tpu.keymask.cotracker import build_cotracker
+
+        tracker = build_cotracker(args.tracker_checkpoint or None)
+    else:
+        tracker = CorrelationTracker()
 
     # 1. visibility curves per seeded mask
     records = extract_visibility_curves(

@@ -59,7 +59,10 @@ def main(argv=None):
     cfg = apply_accum_lr_scale(cfg)
     os.makedirs(cfg.output_dir, exist_ok=True)
 
-    model = build_model(cfg)
+    model = build_model(
+        cfg,
+        grad_checkpoint=not args.eval_only and cfg.solver.grad_checkpoint,
+    )
     rng = jax.random.PRNGKey(max(cfg.seed, 0))
 
     weights = args.weights or cfg.model.weights
