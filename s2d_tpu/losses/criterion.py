@@ -26,6 +26,7 @@ Shape conventions (everything padded, validity-masked):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -239,9 +240,13 @@ def set_criterion(
                 tgt_valid[:, :, None], tgt_masks.shape[:3]
             )
 
-        loss_mask, loss_dice = _loss_masks(
-            k_pts, src, tgt_masks, row_keep, num_masks, cfg
-        )
+        # rematerialize the point-sampled loss in the backward pass: each
+        # layer's (R, S) oversample pool would otherwise stay live across
+        # the whole backward (~550 MB x 2 criteria x 10 layers — the full
+        # R50 KD step OOMs 16G HBM without this; values are unchanged)
+        loss_mask, loss_dice = jax.checkpoint(
+            functools.partial(_loss_masks, cfg=cfg)
+        )(k_pts, src, tgt_masks, row_keep, num_masks)
         suffix = "" if aux_i is None else f"_{aux_i}"
         losses[f"loss_mask{suffix}"] = loss_mask
         losses[f"loss_dice{suffix}"] = loss_dice

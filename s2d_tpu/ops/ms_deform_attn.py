@@ -47,7 +47,10 @@ def ms_deform_attn(
         order matching `value`.
       sampling_locations: (B, Lq, M, L, P, 2) in [0, 1], xy order.
       attention_weights: (B, Lq, M, L, P), softmax-normalized over (L, P).
-      impl: "xla" (this file) or "pallas" (TPU kernel).
+      impl: "xla" (this file), "xla_gather" (forces the row-gather sampling
+        unit whose backward is a scatter-add — the training-safe choice:
+        the onehot unit's backward materializes the sparse interpolation
+        matrix and OOMs HBM), or "pallas" (TPU kernel).
 
     Returns:
       (B, Lq, M * D) attended features.
@@ -59,11 +62,13 @@ def ms_deform_attn(
             value, tuple(spatial_shapes), sampling_locations, attention_weights
         )
     return _ms_deform_attn_xla(
-        value, tuple(spatial_shapes), sampling_locations, attention_weights
+        value, tuple(spatial_shapes), sampling_locations, attention_weights,
+        sample_impl="gather" if impl == "xla_gather" else "auto",
     )
 
 
-def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations, attention_weights):
+def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations, attention_weights,
+                        sample_impl: str = "auto"):
     """Channels-last row-gather formulation: per level, value rows are
     (B*M, H*W, D) and all Lq*P points gather rows at once — the layout XLA
     TPU lowers to fast row gathers (gathering along the lane axis instead
@@ -93,7 +98,9 @@ def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations, attention_wei
             sampled_per_level.append(grid_sample_packed(packed, grid, h, w))
         else:
             # (B*M, Lq*P, D)
-            sampled_per_level.append(grid_sample_rows(v_rows, grid, h, w))
+            sampled_per_level.append(
+                grid_sample_rows(v_rows, grid, h, w, impl=sample_impl)
+            )
         start += h * w
 
     # (B*M, Lq, L, P, D)
