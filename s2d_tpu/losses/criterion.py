@@ -233,52 +233,69 @@ def set_criterion(
     # batch the Hungarian solves of ALL layers into one vmapped auction —
     # the while_loop then costs max(rounds) across layers, not the sum
     # (the reference re-matches every aux layer too, criterion.py:417-425,
-    # but sequentially on the host)
+    # but sequentially on the host). The per-layer point pools run under
+    # lax.scan: the 10 layer losses have no data dependence, so unrolled
+    # they co-schedule and their (R, S) oversample pools co-live (measured
+    # 28.8G of 15.75G HBM at the full R50 KD step); scan serializes them
+    # so peak memory is ONE layer's pool. RNG split order matches the
+    # previous unrolled form exactly (same loss values).
     n_layers = len(layer_outputs)
     b = tgt_valid.shape[0]
-    all_costs = []
-    point_keys = []
-    for idx, (aux_i, logits, masks) in enumerate(layer_outputs):
+    keys = []
+    for _ in range(n_layers):
         rng, k_match, k_pts = jax.random.split(rng, 3)
-        point_keys.append(k_pts)
+        keys.append((k_match, k_pts))
+    k_match_stack = jnp.stack([k for k, _ in keys])
+    k_pts_stack = jnp.stack([k for _, k in keys])
+    logits_stack = jnp.stack([l for _, l, _ in layer_outputs])
+    masks_stack = jnp.stack([m for _, _, m in layer_outputs])
+
+    def cost_step(carry, inp):
+        k_match, logits, masks = inp
         pred_pts, tgt_pts = sample_match_points(
             k_match, masks.astype(jnp.float32), tgt_masks, cfg.num_points
         )
-        all_costs.append(
-            match_costs(
-                logits, masks, tgt_pts, pred_pts, tgt_valid,
-                cfg.cost_class, cfg.cost_mask, cfg.cost_dice,
-            )
+        cost = match_costs(
+            logits, masks, tgt_pts, pred_pts, tgt_valid,
+            cfg.cost_class, cfg.cost_mask, cfg.cost_dice,
         )
-    stacked_cost = jnp.concatenate(all_costs, axis=0)  # (L*B, Q, N)
+        return carry, cost
+
+    _, stacked_cost = jax.lax.scan(
+        cost_step, 0, (k_match_stack, logits_stack, masks_stack)
+    )  # (L, B, Q, N)
+    stacked_cost = stacked_cost.reshape(n_layers * b, *stacked_cost.shape[2:])
     stacked_valid = jnp.tile(tgt_valid, (n_layers, 1))
     assigns = hungarian_assign(stacked_cost, stacked_valid)  # (L*B, N)
     assigns = assigns.reshape(n_layers, b, -1)
 
-    for idx, (aux_i, logits, masks) in enumerate(layer_outputs):
-        k_pts = point_keys[idx]
-        assign = assigns[idx]
+    if cfg.masks_only:
+        empty = tgt_masks.reshape(*tgt_masks.shape[:3], -1).sum(-1) == 0
+        row_keep = tgt_valid[:, :, None] & ~empty
+    else:
+        row_keep = jnp.broadcast_to(tgt_valid[:, :, None], tgt_masks.shape[:3])
+
+    # rematerialize the point-sampled loss in the backward pass: without
+    # this each layer's pool is saved for the whole backward
+    loss_fn = jax.checkpoint(functools.partial(_loss_masks, cfg=cfg))
+
+    def loss_step(carry, inp):
+        k_pts, masks, assign = inp
         # gather matched prediction masks per target slot: (B, N, T, H', W')
         src = jax.vmap(lambda m, a: m[a])(masks, assign)
+        loss_mask, loss_dice = loss_fn(
+            k_pts, src, tgt_masks, row_keep, num_masks
+        )
+        return carry, (loss_mask, loss_dice)
 
-        if cfg.masks_only:
-            empty = tgt_masks.reshape(*tgt_masks.shape[:3], -1).sum(-1) == 0
-            row_keep = tgt_valid[:, :, None] & ~empty
-        else:
-            row_keep = jnp.broadcast_to(
-                tgt_valid[:, :, None], tgt_masks.shape[:3]
-            )
+    _, (loss_mask_per_layer, loss_dice_per_layer) = jax.lax.scan(
+        loss_step, 0, (k_pts_stack, masks_stack, assigns)
+    )
 
-        # rematerialize the point-sampled loss in the backward pass: each
-        # layer's (R, S) oversample pool would otherwise stay live across
-        # the whole backward (~550 MB x 2 criteria x 10 layers — the full
-        # R50 KD step OOMs 16G HBM without this; values are unchanged)
-        loss_mask, loss_dice = jax.checkpoint(
-            functools.partial(_loss_masks, cfg=cfg)
-        )(k_pts, src, tgt_masks, row_keep, num_masks)
+    for idx, (aux_i, logits, _) in enumerate(layer_outputs):
         suffix = "" if aux_i is None else f"_{aux_i}"
-        losses[f"loss_mask{suffix}"] = loss_mask
-        losses[f"loss_dice{suffix}"] = loss_dice
+        losses[f"loss_mask{suffix}"] = loss_mask_per_layer[idx]
+        losses[f"loss_dice{suffix}"] = loss_dice_per_layer[idx]
         if aux_i is None and compute_labels_loss:
-            losses["loss_ce"] = _loss_labels(logits, assign, tgt_valid, cfg)
+            losses["loss_ce"] = _loss_labels(logits, assigns[idx], tgt_valid, cfg)
     return losses
