@@ -137,11 +137,15 @@ def _loss_masks(
     labels_unc = jnp.take_along_axis(pool_tgt, idx, axis=1)
 
     if num_random > 0:
-        rand_coords = jax.random.uniform(k2, (r, num_random, 2))
-        logits_rnd = _point_sample_maps(rows_src, rand_coords)
-        labels_rnd = jax.lax.stop_gradient(
-            _point_sample_maps(rows_tgt.astype(jnp.float32), rand_coords)
-        )
+        # per-row random points are drawn FROM THE SHARED POOL by index:
+        # the pool is an iid uniform draw, so a per-row random subset of it
+        # is distributionally a fresh uniform draw — but the logits come
+        # from the one lane-packed gather above instead of 12M per-row
+        # fetches whose scatter-add backward dominated the full-scale train
+        # step (43 of 46 s/step measured on v5e at TRAIN_NUM_POINTS=160000)
+        rand_idx = jax.random.randint(k2, (r, num_random), 0, num_sampled)
+        logits_rnd = jnp.take_along_axis(pool_src, rand_idx, axis=1)
+        labels_rnd = jnp.take_along_axis(pool_tgt, rand_idx, axis=1)
         point_logits = jnp.concatenate([logits_unc, logits_rnd], axis=1)
         point_labels = jnp.concatenate([labels_unc, labels_rnd], axis=1)
     else:
