@@ -61,15 +61,53 @@ class CriterionConfig:
     world_size: int = 1
 
 
-def _lane_packed_sample(maps: jnp.ndarray, pool: jnp.ndarray) -> jnp.ndarray:
-    """All rows share the coords: (R, H, W) maps, (S, 2) pool -> (R, S) via
-    ONE row-gather with rows packed as lanes."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _pool_gather(rows: jnp.ndarray, grid: jnp.ndarray, h: int, w: int):
+    """Row-gather bilinear sampling with a matmul backward.
+
+    Forward = the fast gather unit. The default VJP of that gather is a
+    scatter-add into (HW, R) — TPU's weak spot, measured as the dominant
+    cost of the full train step (9.6M scatter rows over the 20 criterion
+    layer passes). Here d_rows is instead the transposed weighted one-hot
+    contraction einsum("nsh,nsc->nhc", sparse, g) — the formulation XLA
+    compiles to fast non-dense code (PERFORMANCE.md gather microbenches).
+    ONLY valid when `grid` needs no gradient (the criterion's point pools
+    are rng constants): d_grid is returned as zeros."""
     from ..ops.sampling import grid_sample_rows
 
+    return grid_sample_rows(rows, grid, h, w, impl="gather")
+
+
+def _pool_gather_fwd(rows, grid, h, w):
+    return _pool_gather(rows, grid, h, w), grid
+
+
+def _pool_gather_bwd(h, w, grid, g):
+    from ..ops.sampling import _corner_terms
+
+    sparse = None
+    for idx, weight in _corner_terms(grid, h, w):
+        term = jax.nn.one_hot(idx, h * w, dtype=g.dtype) * weight[..., None].astype(g.dtype)
+        sparse = term if sparse is None else sparse + term
+    # HIGHEST: the backend's fast matmul path is bf16-class and costs ~1e-2
+    # absolute gradient error; exact f32 keeps grad parity with the gather
+    # VJP (and is still a matmul, not the pathological scatter)
+    d_rows = jnp.einsum(
+        "nsh,nsc->nhc", sparse, g, precision=jax.lax.Precision.HIGHEST
+    )
+    return d_rows, jnp.zeros_like(grid)
+
+
+_pool_gather.defvjp(_pool_gather_fwd, _pool_gather_bwd)
+
+
+def _lane_packed_sample(maps: jnp.ndarray, pool: jnp.ndarray) -> jnp.ndarray:
+    """All rows share the coords: (R, H, W) maps, (S, 2) pool -> (R, S) via
+    ONE row-gather with rows packed as lanes (matmul-backward custom vjp)."""
     r, h, w = maps.shape
     rows = maps.reshape(r, h * w).T[None]  # (1, HW, R)
     grid = (2.0 * pool - 1.0)[None]
-    return grid_sample_rows(rows, grid, h, w, impl="gather")[0].T
+    return _pool_gather(rows, grid, h, w)[0].T
 
 
 def _chunked_topk_indices(values: jnp.ndarray, k: int, chunk: int = 4096) -> jnp.ndarray:

@@ -193,3 +193,27 @@ def test_chunked_topk_selection():
     sel = jnp.take_along_axis(v, idx, axis=1)
     kth = jax.lax.top_k(v, k)[0][:, -1:]
     assert float((sel >= kth).mean()) > 0.98
+
+
+def test_pool_gather_custom_vjp_grad_parity():
+    """The matmul-backward custom vjp matches the gather VJP exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2d_tpu.losses.criterion import _lane_packed_sample
+    from s2d_tpu.ops.sampling import grid_sample_rows
+
+    maps = jax.random.normal(jax.random.PRNGKey(0), (5, 12, 16))
+    pool = jax.random.uniform(jax.random.PRNGKey(1), (64, 2))
+
+    def f_custom(m):
+        return (_lane_packed_sample(m, pool) ** 2).sum()
+
+    def f_plain(m):
+        r, h, w = m.shape
+        rows = m.reshape(r, h * w).T[None]
+        grid = (2.0 * pool - 1.0)[None]
+        return (grid_sample_rows(rows, grid, h, w, impl="gather")[0].T ** 2).sum()
+
+    ga, gb = jax.grad(f_custom)(maps), jax.grad(f_plain)(maps)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-5)
