@@ -139,6 +139,26 @@ def _chunked_topk_indices(values: jnp.ndarray, k: int, chunk: int = 4096) -> jnp
     return (idx + offs).reshape(*values.shape[:-1], k)
 
 
+def _chunked_kth_values(values: jnp.ndarray, k: int, chunk: int = 4096) -> jnp.ndarray:
+    """Per-chunk k/n_chunks-th largest value, shaped (..., n_chunks, 1);
+    thresholding each chunk at it selects ~k elements total (exact global
+    top-k as the single-chunk fallback for small/indivisible rows). Chunk
+    count chosen as for _chunked_topk_indices."""
+    import math
+
+    s = values.shape[-1]
+    n_chunks = math.gcd(s, k)
+    while n_chunks > 1 and s // n_chunks < chunk:
+        n_chunks //= [f for f in (2, 3, 5, 7, n_chunks) if n_chunks % f == 0][0]
+    if n_chunks < 2 or s < 4 * chunk:
+        return jax.lax.top_k(values, k)[0][..., -1:].reshape(
+            *values.shape[:-1], 1, 1
+        )
+    per = k // n_chunks
+    v = values.reshape(*values.shape[:-1], n_chunks, s // n_chunks)
+    return jax.lax.top_k(v, per)[0][..., -1:]
+
+
 def _loss_masks(
     rng: jax.Array,
     src_masks: jnp.ndarray,  # (B, N, T, H', W') matched prediction logits
@@ -165,39 +185,47 @@ def _loss_masks(
     k1, k2 = jax.random.split(rng)
     pool = jax.random.uniform(k1, (num_sampled, 2))
     pool_src = _lane_packed_sample(rows_src, pool)  # (R, S), grads flow
-    uncertainty = -jnp.abs(jax.lax.stop_gradient(pool_src))
-    idx = _chunked_topk_indices(uncertainty, num_uncertain)  # (R, U)
-
-    logits_unc = jnp.take_along_axis(pool_src, idx, axis=1)  # (R, U)
     pool_tgt = jax.lax.stop_gradient(
         _lane_packed_sample(rows_tgt.astype(jnp.float32), pool)
     )
-    labels_unc = jnp.take_along_axis(pool_tgt, idx, axis=1)
 
+    # GATHER-FREE point selection: lane-axis take_along_axis on (R, S) was
+    # measured as the wall of the full-scale train step (~38 of 42 s at
+    # TRAIN_NUM_POINTS=160000 — every ablated variant with 160K selected
+    # lanes ran the same; see PERFORMANCE.md). Selection becomes 0/1
+    # WEIGHTS on the full pool, the losses weighted means:
+    #   * uncertain points: weight 1 where uncertainty >= the per-chunk
+    #     k-th value (the pool is iid uniform, so per-chunk quantiles are
+    #     the global quantile; 99.6% selection overlap with exact top-k)
+    #   * random points: Bernoulli(num_random / S) per (row, point) — an
+    #     iid-uniform pool thinned by iid coin flips IS a fresh uniform
+    #     draw with binomially-distributed count; the weighted mean
+    #     normalizes by the realized count, keeping the loss unbiased.
+    # A point picked by both contributes weight 2, exactly like the
+    # reference's concatenated point list.
+    uncertainty = -jnp.abs(jax.lax.stop_gradient(pool_src))
+    wts = jnp.zeros_like(uncertainty)
+    if num_uncertain > 0:
+        kth = _chunked_kth_values(uncertainty, num_uncertain)  # (R, chunks, 1)
+        mask_u = (
+            uncertainty.reshape(*kth.shape[:-1], -1) >= kth
+        ).reshape(r, num_sampled)
+        wts = wts + mask_u.astype(wts.dtype)
     if num_random > 0:
-        # per-row random points are drawn FROM THE SHARED POOL by index:
-        # the pool is an iid uniform draw, so a per-row random subset of it
-        # is distributionally a fresh uniform draw — but the logits come
-        # from the one lane-packed gather above instead of 12M per-row
-        # fetches whose scatter-add backward dominated the full-scale train
-        # step (43 of 46 s/step measured on v5e at TRAIN_NUM_POINTS=160000)
-        rand_idx = jax.random.randint(k2, (r, num_random), 0, num_sampled)
-        logits_rnd = jnp.take_along_axis(pool_src, rand_idx, axis=1)
-        labels_rnd = jnp.take_along_axis(pool_tgt, rand_idx, axis=1)
-        point_logits = jnp.concatenate([logits_unc, logits_rnd], axis=1)
-        point_labels = jnp.concatenate([labels_unc, labels_rnd], axis=1)
-    else:
-        point_logits = logits_unc
-        point_labels = labels_unc
+        bern = jax.random.uniform(k2, (r, num_sampled)) < (
+            num_random / num_sampled
+        )
+        wts = wts + bern.astype(wts.dtype)
+    count = jnp.maximum(wts.sum(axis=1), 1.0)
 
-    ce = jnp.maximum(point_logits, 0) - point_logits * point_labels + jax.nn.softplus(
-        -jnp.abs(point_logits)
+    ce = jnp.maximum(pool_src, 0) - pool_src * pool_tgt + jax.nn.softplus(
+        -jnp.abs(pool_src)
     )
-    loss_mask = (ce.mean(axis=1) * keep).sum() / num_masks
+    loss_mask = (((ce * wts).sum(axis=1) / count) * keep).sum() / num_masks
 
-    probs = jax.nn.sigmoid(point_logits)
-    numerator = 2.0 * (probs * point_labels).sum(axis=1)
-    denominator = probs.sum(axis=1) + point_labels.sum(axis=1)
+    probs = jax.nn.sigmoid(pool_src)
+    numerator = 2.0 * (probs * pool_tgt * wts).sum(axis=1)
+    denominator = (probs * wts).sum(axis=1) + (pool_tgt * wts).sum(axis=1)
     dice = 1.0 - (numerator + 1.0) / (denominator + 1.0)
     loss_dice = (dice * keep).sum() / num_masks
     return loss_mask, loss_dice
