@@ -139,22 +139,28 @@ def _chunked_topk_indices(values: jnp.ndarray, k: int, chunk: int = 4096) -> jnp
     return (idx + offs).reshape(*values.shape[:-1], k)
 
 
-def _chunked_kth_values(values: jnp.ndarray, k: int, chunk: int = 4096) -> jnp.ndarray:
-    """Per-chunk k/n_chunks-th largest value, shaped (..., n_chunks, 1);
+def _chunked_kth_values(values: jnp.ndarray, k: int, chunk: int = 2048) -> jnp.ndarray:
+    """Per-chunk ~k/n_chunks-th largest value, shaped (..., n_chunks, 1);
     thresholding each chunk at it selects ~k elements total (exact global
-    top-k as the single-chunk fallback for small/indivisible rows). Chunk
-    count chosen as for _chunked_topk_indices."""
-    import math
-
+    top-k as the single-chunk fallback for small rows). Counts need not be
+    exact — the caller's weighted mean normalizes by the realized count —
+    so n_chunks only has to divide S, not k; smaller chunks mean much
+    smaller per-chunk sort k (top_k cost grows with k)."""
     s = values.shape[-1]
-    n_chunks = math.gcd(s, k)
-    while n_chunks > 1 and s // n_chunks < chunk:
-        n_chunks //= [f for f in (2, 3, 5, 7, n_chunks) if n_chunks % f == 0][0]
-    if n_chunks < 2 or s < 4 * chunk:
+    if s < 4 * chunk:
         return jax.lax.top_k(values, k)[0][..., -1:].reshape(
             *values.shape[:-1], 1, 1
         )
-    per = k // n_chunks
+    n_chunks = 1
+    for cand in range(s // chunk, 1, -1):  # largest divisor with chunks >= chunk
+        if s % cand == 0:
+            n_chunks = cand
+            break
+    if n_chunks < 2:
+        return jax.lax.top_k(values, k)[0][..., -1:].reshape(
+            *values.shape[:-1], 1, 1
+        )
+    per = max(1, round(k / n_chunks))
     v = values.reshape(*values.shape[:-1], n_chunks, s // n_chunks)
     return jax.lax.top_k(v, per)[0][..., -1:]
 
@@ -162,32 +168,30 @@ def _chunked_kth_values(values: jnp.ndarray, k: int, chunk: int = 4096) -> jnp.n
 def _loss_masks(
     rng: jax.Array,
     src_masks: jnp.ndarray,  # (B, N, T, H', W') matched prediction logits
-    tgt_masks: jnp.ndarray,  # (B, N, T, H, W) targets
+    pool: jnp.ndarray,  # (S, 2) shared point pool in [0, 1]
+    pool_tgt: jnp.ndarray,  # (R, S) target values at the pool points
     row_keep: jnp.ndarray,  # (B, N, T) 0/1 weights (valid & droploss)
     num_masks: jnp.ndarray,  # scalar
     cfg: CriterionConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """PointRend-style point loss over a SHARED pool. The pool and the
+    target values at it are sampled ONCE per criterion call (set_criterion)
+    and reused by every deep-supervision layer: the reference resamples per
+    layer, but per-layer pools cost 20 full-resolution target gathers per
+    step and only change which unbiased estimate of the same integral each
+    layer sees (common random numbers across layers, fresh per step)."""
     b, n, t = src_masks.shape[:3]
     rows_src = src_masks.reshape(b * n * t, *src_masks.shape[3:]).astype(jnp.float32)
-    rows_tgt = tgt_masks.reshape(b * n * t, *tgt_masks.shape[3:])
     keep = row_keep.reshape(b * n * t).astype(jnp.float32)
 
-    # PointRend sampling, TPU-shaped: probe a SHARED uniform pool with one
-    # lane-packed gather, select the per-row most-uncertain pool points
-    # (reusing the probed logits — identical values to re-sampling), and
-    # add per-row random points (the only remaining per-row gathers).
     r = rows_src.shape[0]
     p = cfg.num_points
-    num_sampled = int(p * cfg.oversample_ratio)
+    num_sampled = pool.shape[0]
     num_uncertain = int(cfg.importance_sample_ratio * p)
     num_random = p - num_uncertain
 
-    k1, k2 = jax.random.split(rng)
-    pool = jax.random.uniform(k1, (num_sampled, 2))
+    k2 = rng
     pool_src = _lane_packed_sample(rows_src, pool)  # (R, S), grads flow
-    pool_tgt = jax.lax.stop_gradient(
-        _lane_packed_sample(rows_tgt.astype(jnp.float32), pool)
-    )
 
     # GATHER-FREE point selection: lane-axis take_along_axis on (R, S) was
     # measured as the wall of the full-scale train step (~38 of 42 s at
@@ -345,6 +349,17 @@ def set_criterion(
     else:
         row_keep = jnp.broadcast_to(tgt_valid[:, :, None], tgt_masks.shape[:3])
 
+    # ONE shared point pool + target-value gather for all layers (the
+    # full-resolution target gather is the expensive one; see _loss_masks)
+    rng, k_pool = jax.random.split(rng)
+    num_sampled = int(cfg.num_points * cfg.oversample_ratio)
+    pool = jax.random.uniform(k_pool, (num_sampled, 2))
+    bsz, nsl, t = tgt_masks.shape[:3]
+    rows_tgt = tgt_masks.reshape(bsz * nsl * t, *tgt_masks.shape[3:])
+    pool_tgt = jax.lax.stop_gradient(
+        _lane_packed_sample(rows_tgt.astype(jnp.float32), pool)
+    )
+
     # rematerialize the point-sampled loss in the backward pass: without
     # this each layer's pool is saved for the whole backward
     loss_fn = jax.checkpoint(functools.partial(_loss_masks, cfg=cfg))
@@ -354,7 +369,7 @@ def set_criterion(
         # gather matched prediction masks per target slot: (B, N, T, H', W')
         src = jax.vmap(lambda m, a: m[a])(masks, assign)
         loss_mask, loss_dice = loss_fn(
-            k_pts, src, tgt_masks, row_keep, num_masks
+            k_pts, src, pool, pool_tgt, row_keep, num_masks
         )
         return carry, (loss_mask, loss_dice)
 
