@@ -78,10 +78,19 @@ def evaluate_dataset(
             sample["image"], cfg.model.pixel_mean, cfg.model.pixel_std,
             cfg.model.mask_former.size_divisibility,
         )
-        out = apply_jit(variables, images)
+        # T-bucketing: zero-pad the clip to a multiple of 8 frames and mask
+        # the pad keys out of the decoder — one compile per (bucket, H, W)
+        # instead of one per distinct video length (server-side compiles
+        # cost tens of minutes on this transport)
+        t = images.shape[1]
+        pad_t = -t % 8
+        if pad_t:
+            images = jnp.pad(images, ((0, 0), (0, pad_t), (0, 0), (0, 0), (0, 0)))
+        frame_valid = jnp.arange(t + pad_t) < t
+        out = apply_jit(variables, images, frame_valid=frame_valid)
         device_out = postprocess_video(
             out["pred_logits"][0],
-            out["pred_masks"][0],
+            out["pred_masks"][0, :, :t],
             num_predictions=tcfg.num_predictions,
             num_classes=cfg.model.sem_seg_head.num_classes,
             image_size=(h, w),

@@ -54,7 +54,10 @@ class VideoMaskFormer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, images: jnp.ndarray, deterministic: bool = True
+        self,
+        images: jnp.ndarray,
+        deterministic: bool = True,
+        frame_valid: jnp.ndarray | None = None,  # (T,) bool; False = pad
     ) -> Dict[str, jnp.ndarray]:
         """images: (B, T, H, W, 3) normalized, padded. Returns prediction dict
         with pred_logits (B, Q, K+1), pred_masks (B, Q, T, H/4, W/4) and
@@ -137,7 +140,7 @@ class VideoMaskFormer(nn.Module):
             mask_dim=self.mask_dim,
             flash_cross_attention=self.flash_cross_attention,
             name="predictor",
-        )(ms_video, mask_features)
+        )(ms_video, mask_features, frame_valid=frame_valid)
         return out
 
 

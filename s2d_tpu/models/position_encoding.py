@@ -59,16 +59,32 @@ def position_embedding_sine_2d(h: int, w: int, num_pos_feats: int, dtype=jnp.flo
 
 
 def position_embedding_sine_3d(
-    t: int, h: int, w: int, num_pos_feats: int, dtype=jnp.float32
+    t: int, h: int, w: int, num_pos_feats: int, dtype=jnp.float32,
+    frame_valid=None,
 ):
     """(T, H, W, 2*num_pos_feats) video sine embedding.
 
     pos = concat(pos_y, pos_x) + pos_z, where pos_z uses a frequency table
     of width 2*num_pos_feats spanning the whole channel axis.
-    """
+
+    With `frame_valid` (a traced (T,) bool; False = pad frame), the time
+    phase follows the reference's padding-mask semantics
+    (not_mask.cumsum normalized by its last value): pad frames do not
+    advance the cumsum and the normalizer is the REAL frame count, so the
+    embedding on real frames is independent of how much the clip was
+    padded (T-bucketed eval)."""
     spatial = _sine_2d_np(h, w, num_pos_feats)
-    z = _axis_embed(t)
     freq_z = _freq(2 * num_pos_feats)
-    pos_z = _interleave_sin_cos(z[:, None] / freq_z)  # (T, 2F)
-    pos = spatial[None, :, :, :] + pos_z[:, None, None, :]
-    return jnp.asarray(pos, dtype=dtype)
+    if frame_valid is None:
+        z = _axis_embed(t)
+        pos_z = _interleave_sin_cos(z[:, None] / freq_z)  # (T, 2F)
+        pos = spatial[None, :, :, :] + pos_z[:, None, None, :]
+        return jnp.asarray(pos, dtype=dtype)
+
+    fv = frame_valid.astype(jnp.float32)
+    z = jnp.cumsum(fv) / (fv.sum() + _EPS) * (2 * math.pi)  # (T,)
+    phase = z[:, None] / jnp.asarray(freq_z, jnp.float32)
+    idx = jnp.arange(phase.shape[-1])
+    pos_z = jnp.where(idx % 2 == 0, jnp.sin(phase), jnp.cos(phase))
+    pos = jnp.asarray(spatial, jnp.float32)[None] + pos_z[:, None, None, :]
+    return pos.astype(dtype)

@@ -73,7 +73,12 @@ class VideoMaskedTransformerDecoder(nn.Module):
         self,
         x: Sequence[jnp.ndarray],  # per-level (B, T, h_l, w_l, C), res5->res3
         mask_features: jnp.ndarray,  # (B, T, H, W, mask_dim), stride 4
+        frame_valid: jnp.ndarray | None = None,  # (T,) bool; False = pad frame
     ) -> Dict[str, jnp.ndarray]:
+        """frame_valid supports T-bucketed eval: videos are zero-padded to a
+        length bucket (bounding recompiles across video lengths) and the pad
+        frames' keys are excluded from every cross-attention, so the real
+        frames' outputs equal the unpadded forward exactly."""
         assert len(x) == self.num_feature_levels
         b, t = x[0].shape[0], x[0].shape[1]
         q, c = self.num_queries, self.hidden_dim
@@ -94,7 +99,9 @@ class VideoMaskedTransformerDecoder(nn.Module):
             sizes.append((h, w))
             src = feat.reshape(b, t * h * w, c) + level_embed[i][None, None, :]
             if self.pe_3d:
-                pe = position_embedding_sine_3d(t, h, w, c // 2, feat.dtype)
+                pe = position_embedding_sine_3d(
+                    t, h, w, c // 2, feat.dtype, frame_valid=frame_valid
+                )
             else:
                 assert t == 1, "2D positional encoding requires T == 1"
                 pe = position_embedding_sine_2d(h, w, c // 2, feat.dtype)[None]
@@ -105,6 +112,13 @@ class VideoMaskedTransformerDecoder(nn.Module):
         class_embed = nn.Dense(self.num_classes + 1, name="class_embed")
         mask_embed_mlp = MaskEmbedMLP(self.hidden_dim, self.mask_dim, name="mask_embed")
 
+        def pad_block(attn_size):
+            # (t*h*w,) True where the key belongs to a pad frame
+            if frame_valid is None:
+                return None
+            hl, wl = attn_size
+            return jnp.repeat(~frame_valid, hl * wl)
+
         def prediction_heads(output, attn_size):
             normed = decoder_norm(output)  # (B, Q, C)
             out_cls = class_embed(normed)
@@ -114,8 +128,15 @@ class VideoMaskedTransformerDecoder(nn.Module):
             # default precision matches that, highest would be stricter)
             small = interpolate_bilinear(out_mask, attn_size, precision="default")
             blocked = jax.nn.sigmoid(small).reshape(b, q, -1) < 0.5
+            pad = pad_block(attn_size)
+            if pad is not None:
+                blocked = blocked | pad[None, None, :]
+            # a fully-blocked query row attends everywhere (reference line
+            # 413) — everywhere REAL: pad keys stay blocked
             all_blocked = blocked.all(axis=-1, keepdims=True)
             blocked = blocked & ~all_blocked
+            if pad is not None:
+                blocked = blocked | pad[None, None, :]
             return out_cls, out_mask, jax.lax.stop_gradient(blocked)
 
         output = jnp.broadcast_to(query_feat[None], (b, q, c)).astype(mask_features.dtype)
