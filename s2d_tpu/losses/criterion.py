@@ -59,10 +59,23 @@ class CriterionConfig:
     importance_sample_ratio: float = 0.75
     masks_only: bool = True  # temporal DropLoss strategy
     world_size: int = 1
+    # precision of the matmul-backward einsum in _pool_gather: HIGHEST is
+    # exact-f32 grad parity with the gather VJP; DEFAULT uses the backend's
+    # fast (bf16-class) matmul path — AMP-class gradient noise the
+    # reference's fp16-autocast training also carries, measured 22% faster
+    # per full-scale KD step on v5e. The trainer resolves this from
+    # SOLVER.AMP (make_train_step): amp on -> DEFAULT, off -> HIGHEST.
+    bwd_einsum_precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _pool_gather(rows: jnp.ndarray, grid: jnp.ndarray, h: int, w: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _pool_gather(
+    rows: jnp.ndarray,
+    grid: jnp.ndarray,
+    h: int,
+    w: int,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+):
     """Row-gather bilinear sampling with a matmul backward.
 
     Forward = the fast gather unit. The default VJP of that gather is a
@@ -78,36 +91,35 @@ def _pool_gather(rows: jnp.ndarray, grid: jnp.ndarray, h: int, w: int):
     return grid_sample_rows(rows, grid, h, w, impl="gather")
 
 
-def _pool_gather_fwd(rows, grid, h, w):
-    return _pool_gather(rows, grid, h, w), grid
+def _pool_gather_fwd(rows, grid, h, w, precision):
+    return _pool_gather(rows, grid, h, w, precision), grid
 
 
-def _pool_gather_bwd(h, w, grid, g):
+def _pool_gather_bwd(h, w, precision, grid, g):
     from ..ops.sampling import _corner_terms
 
     sparse = None
     for idx, weight in _corner_terms(grid, h, w):
         term = jax.nn.one_hot(idx, h * w, dtype=g.dtype) * weight[..., None].astype(g.dtype)
         sparse = term if sparse is None else sparse + term
-    # HIGHEST: the backend's fast matmul path is bf16-class and costs ~1e-2
-    # absolute gradient error; exact f32 keeps grad parity with the gather
-    # VJP (and is still a matmul, not the pathological scatter)
-    d_rows = jnp.einsum(
-        "nsh,nsc->nhc", sparse, g, precision=jax.lax.Precision.HIGHEST
-    )
+    d_rows = jnp.einsum("nsh,nsc->nhc", sparse, g, precision=precision)
     return d_rows, jnp.zeros_like(grid)
 
 
 _pool_gather.defvjp(_pool_gather_fwd, _pool_gather_bwd)
 
 
-def _lane_packed_sample(maps: jnp.ndarray, pool: jnp.ndarray) -> jnp.ndarray:
+def _lane_packed_sample(
+    maps: jnp.ndarray,
+    pool: jnp.ndarray,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
     """All rows share the coords: (R, H, W) maps, (S, 2) pool -> (R, S) via
     ONE row-gather with rows packed as lanes (matmul-backward custom vjp)."""
     r, h, w = maps.shape
     rows = maps.reshape(r, h * w).T[None]  # (1, HW, R)
     grid = (2.0 * pool - 1.0)[None]
-    return _pool_gather(rows, grid, h, w)[0].T
+    return _pool_gather(rows, grid, h, w, precision)[0].T
 
 
 def _chunked_topk_indices(values: jnp.ndarray, k: int, chunk: int = 4096) -> jnp.ndarray:
@@ -166,20 +178,21 @@ def _chunked_kth_values(values: jnp.ndarray, k: int, chunk: int = 2048) -> jnp.n
 
 
 def _loss_masks(
-    rng: jax.Array,
     src_masks: jnp.ndarray,  # (B, N, T, H', W') matched prediction logits
     pool: jnp.ndarray,  # (S, 2) shared point pool in [0, 1]
     pool_tgt: jnp.ndarray,  # (R, S) target values at the pool points
+    bern_wts: jnp.ndarray,  # (R, S) 0/1 shared random-point weights
     row_keep: jnp.ndarray,  # (B, N, T) 0/1 weights (valid & droploss)
     num_masks: jnp.ndarray,  # scalar
     cfg: CriterionConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """PointRend-style point loss over a SHARED pool. The pool and the
-    target values at it are sampled ONCE per criterion call (set_criterion)
-    and reused by every deep-supervision layer: the reference resamples per
-    layer, but per-layer pools cost 20 full-resolution target gathers per
-    step and only change which unbiased estimate of the same integral each
-    layer sees (common random numbers across layers, fresh per step)."""
+    """PointRend-style point loss over a SHARED pool. The pool, the target
+    values at it, and the Bernoulli random-point weights are sampled ONCE
+    per criterion call (set_criterion) and reused by every deep-supervision
+    layer: the reference resamples per layer, but per-layer pools cost 20
+    full-resolution target gathers (and 20 (R, S) uniform draws) per step
+    and only change which unbiased estimate of the same integral each layer
+    sees (common random numbers across layers, fresh per step)."""
     b, n, t = src_masks.shape[:3]
     rows_src = src_masks.reshape(b * n * t, *src_masks.shape[3:]).astype(jnp.float32)
     keep = row_keep.reshape(b * n * t).astype(jnp.float32)
@@ -188,10 +201,10 @@ def _loss_masks(
     p = cfg.num_points
     num_sampled = pool.shape[0]
     num_uncertain = int(cfg.importance_sample_ratio * p)
-    num_random = p - num_uncertain
 
-    k2 = rng
-    pool_src = _lane_packed_sample(rows_src, pool)  # (R, S), grads flow
+    pool_src = _lane_packed_sample(
+        rows_src, pool, cfg.bwd_einsum_precision
+    )  # (R, S), grads flow
 
     # GATHER-FREE point selection: lane-axis take_along_axis on (R, S) was
     # measured as the wall of the full-scale train step (~38 of 42 s at
@@ -208,18 +221,13 @@ def _loss_masks(
     # A point picked by both contributes weight 2, exactly like the
     # reference's concatenated point list.
     uncertainty = -jnp.abs(jax.lax.stop_gradient(pool_src))
-    wts = jnp.zeros_like(uncertainty)
+    wts = bern_wts.astype(jnp.float32)
     if num_uncertain > 0:
         kth = _chunked_kth_values(uncertainty, num_uncertain)  # (R, chunks, 1)
         mask_u = (
             uncertainty.reshape(*kth.shape[:-1], -1) >= kth
         ).reshape(r, num_sampled)
         wts = wts + mask_u.astype(wts.dtype)
-    if num_random > 0:
-        bern = jax.random.uniform(k2, (r, num_sampled)) < (
-            num_random / num_sampled
-        )
-        wts = wts + bern.astype(wts.dtype)
     count = jnp.maximum(wts.sum(axis=1), 1.0)
 
     ce = jnp.maximum(pool_src, 0) - pool_src * pool_tgt + jax.nn.softplus(
@@ -311,24 +319,43 @@ def set_criterion(
     # lax.scan: the 10 layer losses have no data dependence, so unrolled
     # they co-schedule and their (R, S) oversample pools co-live (measured
     # 28.8G of 15.75G HBM at the full R50 KD step); scan serializes them
-    # so peak memory is ONE layer's pool. RNG split order matches the
-    # previous unrolled form exactly (same loss values).
+    # so peak memory is ONE layer's pool.
     n_layers = len(layer_outputs)
     b = tgt_valid.shape[0]
-    keys = []
-    for _ in range(n_layers):
-        rng, k_match, k_pts = jax.random.split(rng, 3)
-        keys.append((k_match, k_pts))
-    k_match_stack = jnp.stack([k for k, _ in keys])
-    k_pts_stack = jnp.stack([k for _, k in keys])
     logits_stack = jnp.stack([l for _, l, _ in layer_outputs])
     masks_stack = jnp.stack([m for _, _, m in layer_outputs])
 
+    # ONE shared point pool + full-resolution target-value gather, hoisted
+    # above BOTH the matcher and the per-layer losses. The matcher's point
+    # set is the first num_points of the pool (common random numbers across
+    # layers and videos), so its target values are a slice of pool_tgt —
+    # the reference re-gathers full-resolution targets per layer
+    # (matcher.py:252-264); at TRAIN_NUM_POINTS=160000 those 20 per-step
+    # full-res gathers were measurable and carry no statistical benefit.
+    rng, k_pool, k_bern = jax.random.split(rng, 3)
+    num_sampled = int(cfg.num_points * cfg.oversample_ratio)
+    pool = jax.random.uniform(k_pool, (num_sampled, 2))
+    bsz, nsl, t = tgt_masks.shape[:3]
+    rows_tgt = tgt_masks.reshape(bsz * nsl * t, *tgt_masks.shape[3:])
+    pool_tgt = jax.lax.stop_gradient(
+        _lane_packed_sample(rows_tgt.astype(jnp.float32), pool)
+    )
+
+    p = cfg.num_points
+    pool_p = pool[:p]
+    tgt_pts = pool_tgt.reshape(bsz, nsl, t, num_sampled)[..., :p].reshape(
+        bsz, nsl, t * p
+    )
+
     def cost_step(carry, inp):
-        k_match, logits, masks = inp
-        pred_pts, tgt_pts = sample_match_points(
-            k_match, masks.astype(jnp.float32), tgt_masks, cfg.num_points
+        logits, masks = inp
+        q, tm = masks.shape[1], masks.shape[2]
+        rows = masks.astype(jnp.float32).reshape(
+            bsz * q * tm, *masks.shape[3:]
         )
+        pred_pts = jax.lax.stop_gradient(
+            _lane_packed_sample(rows, pool_p)
+        ).reshape(bsz, q, tm * p)
         cost = match_costs(
             logits, masks, tgt_pts, pred_pts, tgt_valid,
             cfg.cost_class, cfg.cost_mask, cfg.cost_dice,
@@ -336,7 +363,7 @@ def set_criterion(
         return carry, cost
 
     _, stacked_cost = jax.lax.scan(
-        cost_step, 0, (k_match_stack, logits_stack, masks_stack)
+        cost_step, 0, (logits_stack, masks_stack)
     )  # (L, B, Q, N)
     stacked_cost = stacked_cost.reshape(n_layers * b, *stacked_cost.shape[2:])
     stacked_valid = jnp.tile(tgt_valid, (n_layers, 1))
@@ -349,32 +376,32 @@ def set_criterion(
     else:
         row_keep = jnp.broadcast_to(tgt_valid[:, :, None], tgt_masks.shape[:3])
 
-    # ONE shared point pool + target-value gather for all layers (the
-    # full-resolution target gather is the expensive one; see _loss_masks)
-    rng, k_pool = jax.random.split(rng)
-    num_sampled = int(cfg.num_points * cfg.oversample_ratio)
-    pool = jax.random.uniform(k_pool, (num_sampled, 2))
-    bsz, nsl, t = tgt_masks.shape[:3]
-    rows_tgt = tgt_masks.reshape(bsz * nsl * t, *tgt_masks.shape[3:])
-    pool_tgt = jax.lax.stop_gradient(
-        _lane_packed_sample(rows_tgt.astype(jnp.float32), pool)
-    )
+    # ONE shared Bernoulli random-point draw for all layers (2.9G uniform
+    # draws per criterion call when drawn per layer; sharing keeps each
+    # layer's loss an unbiased estimate — see _loss_masks)
+    num_random = p - int(cfg.importance_sample_ratio * p)
+    if num_random > 0:
+        bern_wts = jax.random.uniform(
+            k_bern, (bsz * nsl * t, num_sampled)
+        ) < (num_random / num_sampled)
+    else:
+        bern_wts = jnp.zeros((bsz * nsl * t, num_sampled), jnp.bool_)
 
     # rematerialize the point-sampled loss in the backward pass: without
     # this each layer's pool is saved for the whole backward
     loss_fn = jax.checkpoint(functools.partial(_loss_masks, cfg=cfg))
 
     def loss_step(carry, inp):
-        k_pts, masks, assign = inp
+        masks, assign = inp
         # gather matched prediction masks per target slot: (B, N, T, H', W')
         src = jax.vmap(lambda m, a: m[a])(masks, assign)
         loss_mask, loss_dice = loss_fn(
-            k_pts, src, pool, pool_tgt, row_keep, num_masks
+            src, pool, pool_tgt, bern_wts, row_keep, num_masks
         )
         return carry, (loss_mask, loss_dice)
 
     _, (loss_mask_per_layer, loss_dice_per_layer) = jax.lax.scan(
-        loss_step, 0, (k_pts_stack, masks_stack, assigns)
+        loss_step, 0, (masks_stack, assigns)
     )
 
     for idx, (aux_i, logits, _) in enumerate(layer_outputs):

@@ -1,0 +1,108 @@
+"""Full-scale KD train-step timing harness (v5e measurement recipe).
+
+Reproduces the PERFORMANCE.md "Training-path memory + speed" numbers:
+R50 KD step, T=3 @ 368x640, batch 1, 100 queries, TRAIN_NUM_POINTS=160000.
+
+Transport caveat (NOTES_ROUND2.md): block_until_ready on axon is
+enqueue-ack only — a device->host scalar read is the completion barrier.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--num-points", type=int, default=None)
+    ap.add_argument("--t", type=int, default=3)
+    ap.add_argument("--hw", type=str, default="368x640")
+    ap.add_argument("--n-targets", type=int, default=25)
+    ap.add_argument(
+        "--bwd-precision",
+        choices=["amp", "highest"],
+        default="amp",
+        help="amp = trainer default (fast matmul backward under AMP); "
+        "highest = force exact-f32 criterion gather backward",
+    )
+    args = ap.parse_args()
+
+    from s2d_tpu.utils import jax_setup
+
+    jax_setup.enable_compilation_cache()
+
+    from s2d_tpu.config import load_config
+    from s2d_tpu.models.meta_arch import build_model
+    from s2d_tpu.train import build_optimizer, make_train_step
+    from s2d_tpu.train.trainer import TrainState
+
+    if args.bwd_precision == "highest":
+        # force exact-f32 backward regardless of AMP (A/B knob)
+        import s2d_tpu.train.trainer as _tr
+        from s2d_tpu.losses.criterion import CriterionConfig as _CC
+
+        _tr.CriterionConfig = lambda **k: _CC(
+            **{**k, "bwd_einsum_precision": jax.lax.Precision.HIGHEST}
+        )
+
+    cfg = load_config(
+        "configs/ytvis2021_kd_video_mask2former_R50_cls_agnostic.yaml"
+    )
+    if args.num_points is not None:
+        object.__setattr__(cfg.model.mask_former, "train_num_points", args.num_points)
+    h, w = (int(x) for x in args.hw.split("x"))
+    t, n = args.t, args.n_targets
+
+    model = build_model(cfg, msda_impl="xla_gather", grad_checkpoint=True)
+    rng = jax.random.PRNGKey(0)
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(1, t, h, w, 3), jnp.float32
+    )
+    tgt_masks = jnp.asarray(
+        np.random.RandomState(1).rand(1, n, t, h, w) > 0.7
+    )
+    tgt_valid = jnp.asarray(np.ones((1, n), bool))
+
+    print("init...", flush=True)
+    t0 = time.perf_counter()
+    params = jax.jit(model.init)(rng, images[:, :1])
+    tx = build_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        teacher_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=opt_state,
+    )
+    # barrier: force a scalar read
+    float(jax.tree_util.tree_leaves(params)[0].sum())
+    print(f"init {time.perf_counter() - t0:.1f}s", flush=True)
+
+    step_fn = jax.jit(make_train_step(model, cfg, tx))
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, images, tgt_masks, tgt_valid, rng)
+    tot = float(metrics["total_loss"])
+    print(
+        f"compile+first step {time.perf_counter() - t0:.1f}s  loss={tot:.4f}",
+        flush=True,
+    )
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step_fn(state, images, tgt_masks, tgt_valid, rng)
+    tot = float(metrics["total_loss"])  # completion barrier for all steps
+    dt = (time.perf_counter() - t0) / args.steps
+    print(f"steady state: {dt:.2f} s/step  loss={tot:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
