@@ -39,7 +39,15 @@ def main():
     from s2d_tpu.evaluation.inference import postprocess_video
 
     cfg = Config()
-    model = build_model(cfg)  # bf16 compute, fp32 pixel decoder
+    # pallas separable-MXU MSDA kernel on TPU; the XLA path remains the
+    # CPU/parity reference. Flash cross-attention stays OFF here: at T=8 the
+    # XLA decoder attention is ~9 ms/clip faster (flash exists for the
+    # O(Q x K_tile) memory bound on long whole-video buckets, where the
+    # eval CLI enables it).
+    on_tpu = jax.default_backend() == "tpu"
+    model = build_model(
+        cfg, msda_impl="pallas" if on_tpu else None
+    )  # bf16 compute, fp32 pixel decoder
     rng = jax.random.PRNGKey(0)
 
     frames = jax.random.uniform(rng, (T, IN_H, IN_W, 3), jnp.float32) * 255.0

@@ -92,6 +92,56 @@ def test_msda_grad_finite_differences():
             assert abs(fd - an) < 2e-2 * max(1.0, abs(fd)), (argi, idx, fd, an)
 
 
+def test_msda_pallas_matches_oracle():
+    """Pallas kernel (interpret mode) vs the numpy oracle: exact in f32
+    compute, AMP-class (~1e-2) in the bf16 default."""
+    from s2d_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas
+
+    value, shapes, locs, w = _random_inputs(seed=3, b=2, lq=9, m=2, d=4, p=4)
+    ref = numpy_msda_oracle(
+        value.astype(np.float64), shapes, locs.astype(np.float64), w.astype(np.float64)
+    )
+    out = np.asarray(
+        ms_deform_attn_pallas(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w),
+            compute_dtype=jnp.float32, q_tile=128, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    out16 = np.asarray(
+        ms_deform_attn_pallas(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w),
+            compute_dtype=jnp.bfloat16, q_tile=128, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out16, ref, rtol=0.05, atol=0.02)
+
+
+def test_msda_pallas_tall_level_and_tile_padding():
+    """H > 128 exercises the multi-tile K dimension; Lq*P not a multiple of
+    p_tile exercises point padding."""
+    from s2d_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas
+
+    rng = np.random.RandomState(7)
+    shapes = [(130, 3)]
+    s = sum(h * w for h, w in shapes)
+    b, lq, m, d, p = 1, 11, 1, 4, 3
+    value = rng.randn(b, s, m, d).astype(np.float32)
+    locs = rng.uniform(-0.1, 1.1, size=(b, lq, m, 1, p, 2)).astype(np.float32)
+    w = rng.rand(b, lq, m, 1, p).astype(np.float32)
+    ref = numpy_msda_oracle(
+        value.astype(np.float64), shapes, locs.astype(np.float64), w.astype(np.float64)
+    )
+    out = np.asarray(
+        ms_deform_attn_pallas(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w),
+            compute_dtype=jnp.float32, q_tile=128, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_msda_jit_compiles():
     value, shapes, locs, w = _random_inputs(seed=2)
     fn = jax.jit(lambda v, l, a: ms_deform_attn(v, shapes, l, a))

@@ -84,8 +84,11 @@ def main(argv=None):
         cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR) for f in raw
     ]).astype(np.float32)
 
+    on_tpu = jax.default_backend() == "tpu"
     model = build_model(
-        cfg, flash_cross_attention=jax.default_backend() == "tpu"
+        cfg,
+        msda_impl="pallas" if on_tpu else None,
+        flash_cross_attention=on_tpu,
     )
     weights = args.weights or cfg.model.weights
     if weights and os.path.exists(weights):

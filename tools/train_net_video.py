@@ -86,10 +86,11 @@ def main(argv=None):
             print(f"WARNING: weights {weights!r} not found; random init")
 
     if args.eval_only:
-        # flash masked cross-attention bounds decoder memory on long videos
-        # (Pallas TPU kernel; the XLA path stays for CPU)
+        # flash masked cross-attention bounds decoder memory on long videos,
+        # and the separable-MXU pallas MSDA kernel runs the deformable
+        # encoder ~1.7x faster (Pallas TPU kernels; XLA paths stay for CPU)
         if jax.default_backend() == "tpu":
-            model = build_model(cfg, flash_cross_attention=True)
+            model = build_model(cfg, msda_impl="pallas", flash_cross_attention=True)
         eval_vars = student if cfg.model.mask_former.test.eval_student else teacher
         for dataset_name in cfg.datasets.test:
             metrics = evaluate_dataset(
