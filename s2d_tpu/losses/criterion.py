@@ -151,30 +151,38 @@ def _chunked_topk_indices(values: jnp.ndarray, k: int, chunk: int = 4096) -> jnp
     return (idx + offs).reshape(*values.shape[:-1], k)
 
 
-def _chunked_kth_values(values: jnp.ndarray, k: int, chunk: int = 2048) -> jnp.ndarray:
-    """Per-chunk ~k/n_chunks-th largest value, shaped (..., n_chunks, 1);
-    thresholding each chunk at it selects ~k elements total (exact global
-    top-k as the single-chunk fallback for small rows). Counts need not be
-    exact — the caller's weighted mean normalizes by the realized count —
-    so n_chunks only has to divide S, not k; smaller chunks mean much
-    smaller per-chunk sort k (top_k cost grows with k)."""
+def _uncertainty_threshold(
+    values: jnp.ndarray, k: int, subsample: int = 32768, iters: int = 20
+) -> jnp.ndarray:
+    """Sort-free k-th-largest estimate per row: (R, S) -> (R, 1).
+
+    Ablation showed the per-chunk top_k sorts of the previous selection
+    were ~2.9 s of the 5.4 s full-scale KD step (every TPU top_k lowers to
+    a row sort). Replacement: bisect the threshold whose exceedance count
+    is k, counting on an iid SUBSAMPLE (the pool prefix — the pool is an
+    iid uniform draw, so its prefix is an unbiased subsample and the
+    quantile's sampling error is ~sqrt(q(1-q)/subsample) ~ 0.3%, smaller
+    than the previous per-chunk quantile scatter; the caller's weighted
+    mean normalizes by the REALIZED count, so the loss stays unbiased
+    either way). Exact top_k fallback for small pools keeps tiny-config
+    tests bit-identical to the reference-style selection."""
     s = values.shape[-1]
-    if s < 4 * chunk:
-        return jax.lax.top_k(values, k)[0][..., -1:].reshape(
-            *values.shape[:-1], 1, 1
-        )
-    n_chunks = 1
-    for cand in range(s // chunk, 1, -1):  # largest divisor with chunks >= chunk
-        if s % cand == 0:
-            n_chunks = cand
-            break
-    if n_chunks < 2:
-        return jax.lax.top_k(values, k)[0][..., -1:].reshape(
-            *values.shape[:-1], 1, 1
-        )
-    per = max(1, round(k / n_chunks))
-    v = values.reshape(*values.shape[:-1], n_chunks, s // n_chunks)
-    return jax.lax.top_k(v, per)[0][..., -1:]
+    if s < 2 * subsample:
+        return jax.lax.top_k(values, k)[0][..., -1:]
+    sub = values[..., :subsample]
+    k_sub = k * (subsample / s)
+    lo = sub.min(axis=-1, keepdims=True)
+    hi = sub.max(axis=-1, keepdims=True)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        cnt = (sub >= mid).sum(axis=-1, keepdims=True).astype(jnp.float32)
+        too_many = cnt > k_sub
+        return jnp.where(too_many, mid, lo), jnp.where(too_many, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo
 
 
 def _loss_masks(
@@ -223,11 +231,8 @@ def _loss_masks(
     uncertainty = -jnp.abs(jax.lax.stop_gradient(pool_src))
     wts = bern_wts.astype(jnp.float32)
     if num_uncertain > 0:
-        kth = _chunked_kth_values(uncertainty, num_uncertain)  # (R, chunks, 1)
-        mask_u = (
-            uncertainty.reshape(*kth.shape[:-1], -1) >= kth
-        ).reshape(r, num_sampled)
-        wts = wts + mask_u.astype(wts.dtype)
+        thr = _uncertainty_threshold(uncertainty, num_uncertain)  # (R, 1)
+        wts = wts + (uncertainty >= thr).astype(wts.dtype)
     count = jnp.maximum(wts.sum(axis=1), 1.0)
 
     ce = jnp.maximum(pool_src, 0) - pool_src * pool_tgt + jax.nn.softplus(

@@ -48,9 +48,11 @@ def ms_deform_attn(
       sampling_locations: (B, Lq, M, L, P, 2) in [0, 1], xy order.
       attention_weights: (B, Lq, M, L, P), softmax-normalized over (L, P).
       impl: "xla" (this file), "xla_gather" (forces the row-gather sampling
-        unit whose backward is a scatter-add — the training-safe choice:
-        the onehot unit's backward materializes the sparse interpolation
-        matrix and OOMs HBM), or "pallas" (TPU kernel).
+        unit whose backward is a scatter-add — the training-safe XLA
+        choice: the onehot unit's backward materializes the sparse
+        interpolation matrix and OOMs HBM), or "pallas" (separable-MXU TPU
+        kernel, differentiable via a transposed-kernel custom VJP —
+        fastest for both eval and training on TPU).
 
     Returns:
       (B, Lq, M * D) attended features.

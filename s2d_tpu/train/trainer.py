@@ -101,7 +101,18 @@ def weighted_total(
     return total
 
 
-def make_train_step(model: VideoMaskFormer, cfg: Config, tx: optax.GradientTransformation):
+def make_train_step(
+    model: VideoMaskFormer,
+    cfg: Config,
+    tx: optax.GradientTransformation,
+    teacher_model: VideoMaskFormer | None = None,
+):
+    """`teacher_model` optionally swaps the module used for the no-grad
+    teacher forward (same param tree): the TPU trainer passes a variant with
+    the pallas MSDA kernel, which has no backward but runs the deformable
+    encoder ~2x faster — the student keeps the differentiable XLA path."""
+    if teacher_model is None:
+        teacher_model = model
     mf = cfg.model.mask_former
     crit_cfg = CriterionConfig(
         num_classes=cfg.model.sem_seg_head.num_classes,
@@ -151,7 +162,7 @@ def make_train_step(model: VideoMaskFormer, cfg: Config, tx: optax.GradientTrans
         disentangled = distill_images is not None
 
         if kd_enabled:
-            teacher_out = model.apply(state.teacher_params, images)
+            teacher_out = teacher_model.apply(state.teacher_params, images)
             teacher_out = jax.lax.stop_gradient(teacher_out)
             kd_masks, kd_valid = prepare_distillation_targets(
                 teacher_out, mf.score_threshold_distillation, pad_hw

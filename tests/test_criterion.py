@@ -195,6 +195,33 @@ def test_chunked_topk_selection():
     assert float((sel >= kth).mean()) > 0.98
 
 
+def test_uncertainty_threshold_selection():
+    """Bisected subsample quantile: exact top_k fallback for small pools,
+    near-exact selection (count within 1%, >=98% overlap with exact
+    top-k) at reference pool scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2d_tpu.losses.criterion import _uncertainty_threshold
+
+    # small pool -> exact kth value
+    v2 = jax.random.normal(jax.random.PRNGKey(1), (3, 192))
+    np.testing.assert_allclose(
+        np.asarray(_uncertainty_threshold(v2, 48)),
+        np.asarray(jax.lax.top_k(v2, 48)[0][:, -1:]),
+    )
+
+    v = jax.random.normal(jax.random.PRNGKey(0), (2, 131072))
+    k = 32768
+    thr = _uncertainty_threshold(v, k)
+    sel = v >= thr
+    count = np.asarray(sel.sum(axis=-1))
+    assert np.all(np.abs(count - k) < 0.01 * k), count
+    exact_kth = jax.lax.top_k(v, k)[0][:, -1:]
+    overlap = np.asarray((sel & (v >= exact_kth)).sum(-1)) / k
+    assert np.all(overlap > 0.98), overlap
+
+
 def test_pool_gather_custom_vjp_grad_parity():
     """The matmul-backward custom vjp matches the gather VJP exactly."""
     import jax

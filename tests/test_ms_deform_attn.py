@@ -142,6 +142,39 @@ def test_msda_pallas_tall_level_and_tile_padding():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_msda_pallas_grad_matches_xla():
+    """Custom-VJP backward (transposed MXU kernel) vs jax.grad of the XLA
+    path: exact in f32 compute (both are f32 sums of the same terms)."""
+    from s2d_tpu.ops.ms_deform_attn import _ms_deform_attn_xla
+    from s2d_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas
+
+    value, shapes, locs, w = _random_inputs(seed=5, b=2, lq=9, m=2, d=4, p=4)
+    value, locs, w = jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w)
+    cot = jnp.asarray(
+        np.random.RandomState(0).randn(2, 9, 8).astype(np.float32)
+    )
+
+    def f_ref(v, l, a):
+        return jnp.sum(_ms_deform_attn_xla(v, shapes, l, a) * cot)
+
+    def f_pal(v, l, a):
+        return jnp.sum(
+            ms_deform_attn_pallas(
+                v, shapes, l, a,
+                compute_dtype=jnp.float32, q_tile=128, interpret=True,
+            )
+            * cot
+        )
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(value, locs, w)
+    g_pal = jax.grad(f_pal, argnums=(0, 1, 2))(value, locs, w)
+    for name, a, b_ in zip(("value", "locs", "attn"), g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=1e-3, atol=1e-4,
+            err_msg=name,
+        )
+
+
 def test_msda_jit_compiles():
     value, shapes, locs, w = _random_inputs(seed=2)
     fn = jax.jit(lambda v, l, a: ms_deform_attn(v, shapes, l, a))

@@ -143,6 +143,40 @@ def test_kd_train_step_runs_and_updates():
     np.testing.assert_allclose(t_new, m * t_old + (1 - m) * s_new, rtol=1e-5, atol=1e-7)
 
 
+def test_kd_train_step_teacher_model_override():
+    """A distinct teacher module (different MSDA unit, same param tree)
+    produces the same losses — the TPU trainer swaps in the pallas-kernel
+    variant for the no-grad teacher forward this way."""
+    import dataclasses as _dc
+
+    cfg = _tiny_cfg()
+    model = _tiny_model(cfg)
+    teacher_model = _dc.replace(model, msda_impl="xla_gather")
+    rng = jax.random.PRNGKey(0)
+    b, t, h, w, n = 1, 2, 32, 32, 3
+    images = jax.random.normal(rng, (b, t, h, w, 3))
+    params = model.init(rng, images)
+    tx = build_optimizer(cfg, params)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        teacher_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=tx.init(params),
+    )
+    masks = jax.random.uniform(jax.random.PRNGKey(1), (b, n, t, h, w)) > 0.7
+    valid = jnp.asarray([[True, True, False]])
+
+    base = jax.jit(make_train_step(model, cfg, tx))
+    swapped = jax.jit(
+        make_train_step(model, cfg, tx, teacher_model=teacher_model)
+    )
+    _, m0 = base(state, images, masks, valid, jax.random.PRNGKey(2))
+    _, m1 = swapped(state, images, masks, valid, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(
+        float(m0["total_loss"]), float(m1["total_loss"]), rtol=1e-5
+    )
+
+
 def test_auto_scale_workers():
     from s2d_tpu.train.scaling import auto_scale_workers
 

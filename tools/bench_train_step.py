@@ -27,6 +27,13 @@ def main():
     ap.add_argument("--t", type=int, default=3)
     ap.add_argument("--hw", type=str, default="368x640")
     ap.add_argument("--n-targets", type=int, default=25)
+    ap.add_argument("--teacher-pallas", action="store_true",
+                    help="pallas MSDA for the no-grad teacher forward")
+    ap.add_argument("--student-pallas", action="store_true",
+                    help="pallas MSDA (custom-VJP bwd) for the student too")
+    ap.add_argument("--importance-ratio", type=float, default=None,
+                    help="override IMPORTANCE_SAMPLE_RATIO (0 ablates the "
+                    "per-chunk kth-value sorts)")
     ap.add_argument(
         "--bwd-precision",
         choices=["amp", "highest"],
@@ -59,10 +66,19 @@ def main():
     )
     if args.num_points is not None:
         object.__setattr__(cfg.model.mask_former, "train_num_points", args.num_points)
+    if args.importance_ratio is not None:
+        object.__setattr__(
+            cfg.model.mask_former, "importance_sample_ratio",
+            args.importance_ratio,
+        )
     h, w = (int(x) for x in args.hw.split("x"))
     t, n = args.t, args.n_targets
 
-    model = build_model(cfg, msda_impl="xla_gather", grad_checkpoint=True)
+    model = build_model(
+        cfg,
+        msda_impl="pallas" if args.student_pallas else "xla_gather",
+        grad_checkpoint=True,
+    )
     rng = jax.random.PRNGKey(0)
     images = jnp.asarray(
         np.random.RandomState(0).rand(1, t, h, w, 3), jnp.float32
@@ -87,7 +103,14 @@ def main():
     float(jax.tree_util.tree_leaves(params)[0].sum())
     print(f"init {time.perf_counter() - t0:.1f}s", flush=True)
 
-    step_fn = jax.jit(make_train_step(model, cfg, tx))
+    teacher_model = None
+    if args.teacher_pallas:
+        from s2d_tpu.models.meta_arch import build_model as _bm
+
+        teacher_model = _bm(cfg, msda_impl="pallas")
+    step_fn = jax.jit(
+        make_train_step(model, cfg, tx, teacher_model=teacher_model)
+    )
     t0 = time.perf_counter()
     state, metrics = step_fn(state, images, tgt_masks, tgt_valid, rng)
     tot = float(metrics["total_loss"])

@@ -59,8 +59,17 @@ def main(argv=None):
     cfg = apply_accum_lr_scale(cfg)
     os.makedirs(cfg.output_dir, exist_ok=True)
 
+    # student MSDA on TPU under AMP: the pallas separable-MXU kernel with
+    # its transposed-kernel custom VJP (AMP-class grads, ~15% faster full
+    # KD step); exact XLA path otherwise
+    student_impl = (
+        "pallas"
+        if jax.default_backend() == "tpu" and cfg.solver.amp.enabled
+        else None
+    )
     model = build_model(
         cfg,
+        msda_impl=student_impl,
         grad_checkpoint=not args.eval_only and cfg.solver.grad_checkpoint,
     )
     rng = jax.random.PRNGKey(max(cfg.seed, 0))
@@ -128,7 +137,12 @@ def main(argv=None):
         if step is not None:
             state = restore_checkpoint(ckpt_dir, state, step)
             print(f"Resumed from checkpoint step {step}")
-    step_fn = jax.jit(make_train_step(model, cfg, tx))
+    # the no-grad teacher forward uses the pallas kernel under the same
+    # AMP gate (the reference's teacher also runs under autocast)
+    teacher_model = (
+        build_model(cfg, msda_impl="pallas") if student_impl else None
+    )
+    step_fn = jax.jit(make_train_step(model, cfg, tx, teacher_model=teacher_model))
 
     dicts = []
     for name in cfg.datasets.train:
