@@ -35,23 +35,29 @@ from ..ops.auction import auction_assign
 from ..ops.sampling import grid_sample_rows, point_sample
 
 
-def batch_sigmoid_ce_cost(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+def batch_sigmoid_ce_cost(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
     """(Q, P) logits x (N, P) targets -> (Q, N) mean BCE cost."""
     p = logits.shape[-1]
     pos = jax.nn.softplus(-logits)  # BCE(x, 1)
     neg = jax.nn.softplus(logits)  # BCE(x, 0)
-    hp = jax.lax.Precision.HIGHEST
     return (
-        jnp.einsum("qp,np->qn", pos, targets, precision=hp)
-        + jnp.einsum("qp,np->qn", neg, 1.0 - targets, precision=hp)
+        jnp.einsum("qp,np->qn", pos, targets, precision=precision)
+        + jnp.einsum("qp,np->qn", neg, 1.0 - targets, precision=precision)
     ) / p
 
 
-def batch_dice_cost(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+def batch_dice_cost(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
     """(Q, P) logits x (N, P) targets -> (Q, N) dice cost."""
     probs = jax.nn.sigmoid(logits)
-    hp = jax.lax.Precision.HIGHEST
-    numerator = 2.0 * jnp.einsum("qp,np->qn", probs, targets, precision=hp)
+    numerator = 2.0 * jnp.einsum("qp,np->qn", probs, targets, precision=precision)
     denominator = probs.sum(-1)[:, None] + targets.sum(-1)[None, :]
     return 1.0 - (numerator + 1.0) / (denominator + 1.0)
 
@@ -98,16 +104,20 @@ def match_costs(
     cost_class: float,
     cost_mask: float,
     cost_dice: float,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
-    """Assemble the (B, Q, N) cost matrix (f32, as the reference's fp32
-    autocast-off island)."""
+    """Assemble the (B, Q, N) cost matrix. `precision` follows the AMP
+    gate: the reference computes its matcher costs inside the fp16
+    autocast region (`matcher.py:226` under the trainer's autocast), so
+    the fast-matmul path under AMP is the same noise class; HIGHEST is
+    the exact-f32 default used when AMP is off and in tests."""
     prob0 = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)[..., 0]
     cost_cls = -prob0[:, :, None]  # (B, Q, 1) broadcast over targets
 
     def per_video(pm, tm):
         return (
-            cost_mask * batch_sigmoid_ce_cost(pm, tm)
-            + cost_dice * batch_dice_cost(pm, tm)
+            cost_mask * batch_sigmoid_ce_cost(pm, tm, precision)
+            + cost_dice * batch_dice_cost(pm, tm, precision)
         )
 
     cost = jax.vmap(per_video)(

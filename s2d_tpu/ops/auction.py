@@ -41,10 +41,28 @@ _NEG = -1.0e18
 
 
 def _auction_square(
-    benefit: jnp.ndarray, exact: bool, max_iters: int = 3000
+    benefit: jnp.ndarray, exact: bool, max_iters: int = 3000,
+    unroll: int = 4
 ) -> jnp.ndarray:
     """benefit: (Q, Q) float32 (integer-valued up to the dummy diversifier).
-    Returns (Q,) object index per person."""
+    Returns (Q,) object index per person.
+
+    Round-count engineering (measured on the train-step batch, 20 problems
+    of (100, 25): 2960 max rounds at ~165 us of serial small-op dispatch
+    each = ~490 ms per step):
+      * PARTIAL RESET between epsilon phases: a person whose current object
+        still satisfies eps-CS at the NEW epsilon keeps it; only violators
+        re-bid. The auction's invariant — every assigned person is within
+        eps of its best net value at the current prices — holds for kept
+        pairs by construction, so optimality is untouched, but the late
+        phases (price wars re-fought from scratch: 640/811/1179 rounds)
+        collapse to the handful of genuinely contested objects.
+      * UNROLL: several bidding rounds per while_loop iteration. A round on
+        an already-complete assignment is a no-op (all bids are -inf), so
+        overshooting the termination check is safe; the loop-condition
+        scatter and per-op dispatch overhead amortize across the unrolled
+        rounds.
+    """
     q = benefit.shape[0]
     person_ids = jnp.arange(q)
 
@@ -60,21 +78,40 @@ def _auction_square(
         idx = jnp.where(owner >= 0, owner, q)
         return jnp.zeros((q + 1,), bool).at[idx].set(True)[:q]
 
-    def run_phase(prices, eps):
-        owner0 = jnp.full((q,), -1, jnp.int32)
+    def person_to_obj(owner):
+        obj_ids = jnp.arange(q, dtype=jnp.int32)
+        idx = jnp.where(owner >= 0, owner, q)
+        return (
+            jnp.full((q + 1,), -1, jnp.int32).at[idx].set(obj_ids)[:q]
+        )
+
+    def run_phase(prices, owner_prev, eps):
+        # partial reset: keep assignments that satisfy eps-CS at this eps
+        pobj = person_to_obj(owner_prev)  # (Q,) object of each person, -1
+        net = benefit - prices[None, :]
+        best = net.max(axis=1)
+        own_net = jnp.take_along_axis(
+            net, jnp.maximum(pobj, 0)[:, None], axis=1
+        )[:, 0]
+        keep = (pobj >= 0) & (own_net >= best - eps)
+        idx = jnp.where(keep, pobj, q)
+        owner0 = (
+            jnp.full((q + 1,), -1, jnp.int32)
+            .at[idx]
+            .set(person_ids.astype(jnp.int32))[:q]
+        )
 
         def cond(state):
             _, owner, it = state
             return (~assigned_mask(owner).all()) & (it < max_iters)
 
-        def body(state):
-            prices, owner, it = state
+        def round_(prices, owner):
             unassigned = ~assigned_mask(owner)
             net = benefit - prices[None, :]  # (Q, Q)
-            i1 = jnp.argmax(net, axis=1)
-            w1 = jnp.take_along_axis(net, i1[:, None], axis=1)[:, 0]
-            net2 = net.at[person_ids, i1].set(_NEG)
-            w2 = net2.max(axis=1)
+            vals, idxs = jax.lax.top_k(net, 2)  # one op for best + runner-up
+            i1 = idxs[:, 0]
+            w1 = vals[:, 0]
+            w2 = vals[:, 1]
             bid = prices[i1] + (w1 - w2) + eps
             bid = jnp.where(unassigned, bid, _NEG)
 
@@ -88,19 +125,22 @@ def _auction_square(
             contested = winner < q
             owner = jnp.where(contested, winner, owner)
             prices = jnp.where(contested, best_bid, prices)
-            return prices, owner, it + 1
+            return prices, owner
+
+        def body(state):
+            prices, owner, it = state
+            for _ in range(unroll):
+                prices, owner = round_(prices, owner)
+            return prices, owner, it + unroll
 
         return jax.lax.while_loop(cond, body, (prices, owner0, jnp.int32(0)))
 
     prices = jnp.zeros((q,), jnp.float32)
     owner = jnp.full((q,), -1, jnp.int32)
     for eps in eps_list:
-        prices, owner, _ = run_phase(prices, eps)
+        prices, owner, _ = run_phase(prices, owner, eps)
 
-    # person -> object from owner (object -> person)
-    obj_ids = jnp.arange(q, dtype=jnp.int32)
-    idx = jnp.where(owner >= 0, owner, q)
-    return jnp.zeros((q + 1,), jnp.int32).at[idx].set(obj_ids)[:q]
+    return person_to_obj(owner)
 
 
 def auction_assign(

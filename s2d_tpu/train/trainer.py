@@ -32,7 +32,11 @@ import jax.numpy as jnp
 import optax
 
 from ..config import Config
-from ..losses.criterion import CriterionConfig, set_criterion
+from ..losses.criterion import (
+    CriterionConfig,
+    set_criterion,
+    set_criterion_pair,
+)
 from ..models.meta_arch import VideoMaskFormer, build_model
 from ..ops.resize import interpolate_bilinear
 from .optim import build_optimizer
@@ -177,12 +181,6 @@ def make_train_step(
             out = model.apply(
                 params, images, deterministic=False, rngs={"dropout": k_drop}
             )
-            sup_losses = set_criterion(
-                k_sup, out, tgt_masks, tgt_valid, crit_cfg,
-                compute_labels_loss=True,
-            )
-            total = weighted_total(sup_losses, weights, kd=False, factor=sup_factor)
-            metrics = {k: v for k, v in sup_losses.items() if "_" not in k[5:]}
             if kd_enabled:
                 if disentangled:
                     kd_out = model.apply(
@@ -191,10 +189,21 @@ def make_train_step(
                     )
                 else:
                     kd_out = out
-                kd_losses = set_criterion(
+                # one batched auction solve for both criteria (the solver's
+                # serial bidding rounds cost max across problems, not sum)
+                sup_losses, kd_losses = set_criterion_pair(
+                    k_sup, out, tgt_masks, tgt_valid, crit_cfg,
                     k_kd, kd_out, kd_masks, kd_valid, kd_crit_cfg,
                     compute_labels_loss=True,
                 )
+            else:
+                sup_losses = set_criterion(
+                    k_sup, out, tgt_masks, tgt_valid, crit_cfg,
+                    compute_labels_loss=True,
+                )
+            total = weighted_total(sup_losses, weights, kd=False, factor=sup_factor)
+            metrics = {k: v for k, v in sup_losses.items() if "_" not in k[5:]}
+            if kd_enabled:
                 total = total + weighted_total(
                     kd_losses, weights, kd=True, factor=kd_factor
                 )

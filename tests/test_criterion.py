@@ -195,6 +195,48 @@ def test_chunked_topk_selection():
     assert float((sel >= kth).mean()) > 0.98
 
 
+def test_set_criterion_pair_matches_two_calls():
+    """The batched-auction pair produces the same losses as two separate
+    set_criterion calls with the same rngs (solves are independent under
+    vmap, so batching them changes nothing numerically)."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2d_tpu.losses.criterion import (
+        CriterionConfig, set_criterion, set_criterion_pair,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    b, q, t, h, w = 1, 6, 2, 16, 16
+    na, nb = 3, 6
+    cfg = CriterionConfig(num_points=32, oversample_ratio=2.0)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    outputs = {
+        "pred_logits": jax.random.normal(k1, (b, q, 2)),
+        "pred_masks": jax.random.normal(k2, (b, q, t, h // 4, w // 4)),
+        "aux_pred_logits": [jax.random.normal(k3, (b, q, 2))],
+        "aux_pred_masks": [jax.random.normal(k4, (b, q, t, h // 4, w // 4))],
+    }
+    masks_a = jax.random.uniform(k1, (b, na, t, h, w)) > 0.6
+    valid_a = jnp.asarray([[True, True, False]])
+    masks_b = jax.random.uniform(k2, (b, nb, t, h, w)) > 0.6
+    valid_b = jnp.ones((b, nb), bool)
+
+    la = set_criterion(k3, outputs, masks_a, valid_a, cfg)
+    lb = set_criterion(k4, outputs, masks_b, valid_b, cfg)
+    pa, pb = set_criterion_pair(
+        k3, outputs, masks_a, valid_a, cfg,
+        k4, outputs, masks_b, valid_b, cfg,
+    )
+    for ref, got in ((la, pa), (lb, pb)):
+        assert set(ref) == set(got)
+        for key in ref:
+            np.testing.assert_allclose(
+                float(got[key]), float(ref[key]), rtol=1e-5, atol=1e-6,
+                err_msg=key,
+            )
+
+
 def test_uncertainty_threshold_selection():
     """Bisected subsample quantile: exact top_k fallback for small pools,
     near-exact selection (count within 1%, >=98% overlap with exact

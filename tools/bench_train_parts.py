@@ -1,0 +1,63 @@
+"""Microbenchmarks for non-point train-step components on the TPU:
+the auction Hungarian solve at train-step shapes, the distillation-target
+prep (teacher top-k + mask NMS), and the EMA/optimizer tree update."""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from s2d_tpu.utils import jax_setup
+
+jax_setup.enable_compilation_cache()
+
+
+def timed(fn, iters=10):
+    out = fn()
+    _ = float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    _ = float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
+    return (time.perf_counter() - start) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=25, help="targets per video")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from s2d_tpu.losses.matcher import hungarian_assign
+
+    # train-step shape: (layers*B*criteria) independent (Q, N) problems
+    rng = jax.random.PRNGKey(0)
+    cost = jax.random.normal(rng, (20, 100, args.n)) * 5.0
+    valid = jnp.ones((20, args.n), bool)
+    fn = jax.jit(hungarian_assign)
+    t = timed(lambda: fn(cost, valid), args.iters)
+    print(f"hungarian_assign (20, 100, {args.n}): {t*1e3:.1f} ms", flush=True)
+
+    from s2d_tpu.train.trainer import prepare_distillation_targets
+
+    q, tt, hh, ww = 100, 3, 92, 160
+    k1, k2 = jax.random.split(rng)
+    teacher_out = {
+        "pred_logits": jax.random.normal(k1, (1, q, 2)),
+        "pred_masks": jax.random.normal(k2, (1, q, tt, hh, ww)),
+    }
+    fn2 = jax.jit(
+        lambda o: prepare_distillation_targets(o, 0.75, (hh * 4, ww * 4))
+    )
+    t = timed(lambda: fn2(teacher_out), args.iters)
+    print(f"prepare_distillation_targets: {t*1e3:.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

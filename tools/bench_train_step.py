@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--importance-ratio", type=float, default=None,
                     help="override IMPORTANCE_SAMPLE_RATIO (0 ablates the "
                     "per-chunk kth-value sorts)")
+    ap.add_argument("--fixed-assign", action="store_true",
+                    help="ablate the auction: identity assignment")
     ap.add_argument(
         "--bwd-precision",
         choices=["amp", "highest"],
@@ -73,6 +75,13 @@ def main():
         )
     h, w = (int(x) for x in args.hw.split("x"))
     t, n = args.t, args.n_targets
+
+    if args.fixed_assign:
+        import s2d_tpu.losses.criterion as _cr
+
+        _cr.hungarian_assign = lambda cost, valid=None: jnp.tile(
+            jnp.arange(cost.shape[2], dtype=jnp.int32), (cost.shape[0], 1)
+        )
 
     model = build_model(
         cfg,
