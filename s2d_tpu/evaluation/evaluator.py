@@ -55,8 +55,14 @@ def evaluate_dataset(
     dataset_name: str,
     output_dir: Optional[str] = None,
     max_videos: Optional[int] = None,
+    model_short=None,
 ) -> Dict[str, float]:
-    """--eval-only path: run inference over a registered dataset and score."""
+    """--eval-only path: run inference over a registered dataset and score.
+
+    `model_short` optionally provides a variant used for clips that fit the
+    smallest T bucket (<= 8 frames): the flash masked cross-attention kernel
+    that bounds memory on long videos costs ~9 ms/clip at T=8 vs the XLA
+    decoder attention, so the TPU CLI passes a no-flash variant here."""
     from ..evaluation.ytvos_eval import evaluate_vis
 
     dicts, metadata = get_dataset(dataset_name)
@@ -71,6 +77,9 @@ def evaluate_dataset(
     # transport (recompiles per unique (T, H, W) — the compile cache
     # amortizes across the few shape buckets a dataset has)
     apply_jit = jax.jit(model.apply)
+    apply_jit_short = (
+        jax.jit(model_short.apply) if model_short is not None else apply_jit
+    )
     start = time.perf_counter()
     for record in dicts:
         sample = mapper(record)
@@ -87,7 +96,8 @@ def evaluate_dataset(
         if pad_t:
             images = jnp.pad(images, ((0, 0), (0, pad_t), (0, 0), (0, 0), (0, 0)))
         frame_valid = jnp.arange(t + pad_t) < t
-        out = apply_jit(variables, images, frame_valid=frame_valid)
+        fwd = apply_jit_short if t + pad_t <= 8 else apply_jit
+        out = fwd(variables, images, frame_valid=frame_valid)
         device_out = postprocess_video(
             out["pred_logits"][0],
             out["pred_masks"][0, :, :t],

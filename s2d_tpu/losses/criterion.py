@@ -31,6 +31,7 @@ from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.sampling import grid_sample_packed, pack_2x2, point_sample
 from .matcher import hungarian_assign, match_costs, sample_match_points
@@ -210,8 +211,9 @@ def _loss_masks(
     num_sampled = pool.shape[0]
     num_uncertain = int(cfg.importance_sample_ratio * p)
 
-    pool_src = _lane_packed_sample(
-        rows_src, pool, cfg.bwd_einsum_precision
+    pool_src = checkpoint_name(
+        _lane_packed_sample(rows_src, pool, cfg.bwd_einsum_precision),
+        "pool_src",
     )  # (R, S), grads flow
 
     # GATHER-FREE point selection: lane-axis take_along_axis on (R, S) was
@@ -418,8 +420,22 @@ def _criterion_losses(
     compute_labels_loss: bool,
 ) -> Dict[str, jnp.ndarray]:
     # rematerialize the point-sampled loss in the backward pass: without
-    # this each layer's pool is saved for the whole backward
-    loss_fn = jax.checkpoint(functools.partial(_loss_masks, cfg=cfg))
+    # this each layer's pool is saved for the whole backward. When the
+    # stacked (L, R, S) residual fits a modest budget, SAVE the sampled
+    # prediction values ("pool_src") so the backward skips re-running the
+    # per-layer 480K-row gather + 2x2 packing; everything else (the
+    # oversample pool workspaces that caused the original 28.8G blowup)
+    # is still recomputed.
+    r_rows = state["pool_tgt"].shape[0]
+    s_pool = state["pool_tgt"].shape[1]
+    save_bytes = r_rows * s_pool * 4 * len(state["layer_aux_ids"])
+    if save_bytes <= int(2e9):
+        policy = jax.checkpoint_policies.save_only_these_names("pool_src")
+        loss_fn = jax.checkpoint(
+            functools.partial(_loss_masks, cfg=cfg), policy=policy
+        )
+    else:
+        loss_fn = jax.checkpoint(functools.partial(_loss_masks, cfg=cfg))
 
     def loss_step(carry, inp):
         masks, assign = inp

@@ -32,9 +32,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=25, help="targets per video")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--sweep-auction", action="store_true")
     args = ap.parse_args()
 
     from s2d_tpu.losses.matcher import hungarian_assign
+    from s2d_tpu.ops import auction as A
 
     # train-step shape: (layers*B*criteria) independent (Q, N) problems
     rng = jax.random.PRNGKey(0)
@@ -43,6 +45,25 @@ def main():
     fn = jax.jit(hungarian_assign)
     t = timed(lambda: fn(cost, valid), args.iters)
     print(f"hungarian_assign (20, 100, {args.n}): {t*1e3:.1f} ms", flush=True)
+
+    if args.sweep_auction:
+        import functools as _ft
+
+        base_theta = A.THETA
+        for theta, unroll in ((4.0, 8), (8.0, 4), (8.0, 8), (16.0, 8)):
+            A.THETA = theta
+            orig = A._auction_square
+            A._auction_square = _ft.partial(orig, unroll=unroll)
+            # fresh lambda: jit caches on function identity, so wrapping
+            # A.auction_assign directly would silently reuse the first trace
+            fn = jax.jit(lambda c, v: A.auction_assign(c, v))
+            t = timed(lambda: fn(cost, valid), args.iters)
+            A._auction_square = orig
+            print(
+                f"auction theta={theta} unroll={unroll}: {t*1e3:.1f} ms",
+                flush=True,
+            )
+        A.THETA = base_theta
 
     from s2d_tpu.train.trainer import prepare_distillation_targets
 

@@ -97,14 +97,19 @@ def main(argv=None):
     if args.eval_only:
         # flash masked cross-attention bounds decoder memory on long videos,
         # and the separable-MXU pallas MSDA kernel runs the deformable
-        # encoder ~1.7x faster (Pallas TPU kernels; XLA paths stay for CPU)
+        # encoder ~2x faster (Pallas TPU kernels; XLA paths stay for CPU).
+        # Short clips (<= 8-frame bucket) skip flash — the XLA decoder
+        # attention is ~9 ms/clip faster there and memory is not a concern.
+        model_short = None
         if jax.default_backend() == "tpu":
             model = build_model(cfg, msda_impl="pallas", flash_cross_attention=True)
+            model_short = build_model(cfg, msda_impl="pallas")
         eval_vars = student if cfg.model.mask_former.test.eval_student else teacher
         for dataset_name in cfg.datasets.test:
             metrics = evaluate_dataset(
                 cfg, model, eval_vars, dataset_name,
                 output_dir=cfg.output_dir, max_videos=args.max_videos,
+                model_short=model_short,
             )
             print(f"[{dataset_name}] " + "  ".join(
                 f"{k}: {v:.4f}" for k, v in metrics.items()
