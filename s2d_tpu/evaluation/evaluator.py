@@ -59,10 +59,13 @@ def evaluate_dataset(
 ) -> Dict[str, float]:
     """--eval-only path: run inference over a registered dataset and score.
 
-    `model_short` optionally provides a variant used for clips that fit the
-    smallest T bucket (<= 8 frames): the flash masked cross-attention kernel
-    that bounds memory on long videos costs ~9 ms/clip at T=8 vs the XLA
-    decoder attention, so the TPU CLI passes a no-flash variant here."""
+    `model_short` optionally provides a variant used for clips in the
+    T <= 64 buckets: the flash masked cross-attention kernel that bounds
+    memory on long videos runs slightly slower than the XLA decoder
+    attention wherever the (H, Q, T*sum HW) logits fit comfortably
+    (measured: 90.1 vs 79.7 frames/s at T=8, 83.5 vs 78.3 at T=36), so
+    the TPU CLI passes a no-flash variant for the short buckets and keeps
+    flash for the long tail (MOSE/SA-V whole videos)."""
     from ..evaluation.ytvos_eval import evaluate_vis
 
     dicts, metadata = get_dataset(dataset_name)
@@ -96,7 +99,7 @@ def evaluate_dataset(
         if pad_t:
             images = jnp.pad(images, ((0, 0), (0, pad_t), (0, 0), (0, 0), (0, 0)))
         frame_valid = jnp.arange(t + pad_t) < t
-        fwd = apply_jit_short if t + pad_t <= 8 else apply_jit
+        fwd = apply_jit_short if t + pad_t <= 64 else apply_jit
         out = fwd(variables, images, frame_valid=frame_valid)
         device_out = postprocess_video(
             out["pred_logits"][0],

@@ -242,7 +242,8 @@ class CoTrackerTracker:
         tracks, vis = _apply_net(
             self.net, self.params,
             jnp.asarray(video / 255.0),
-            jnp.asarray(q_scaled), int(query_frame),
+            jnp.asarray(q_scaled),
+            jnp.asarray(query_frame, jnp.int32),
             self.interp_h, self.interp_w,
         )
         tracks = np.asarray(tracks)[:, :p] * np.asarray(
@@ -251,8 +252,11 @@ class CoTrackerTracker:
         return tracks, np.asarray(vis)[:, :p]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
 def _apply_net(net, params, video, queries, query_frame, ih, iw):
+    # query_frame is TRACED (dynamic indexing inside the net): the discovery
+    # pipeline seeds every frame of every video, and a static seed frame
+    # would recompile the whole net per seed (minutes each, server-side)
     t = video.shape[0]
     frames = jax.image.resize(video, (t, ih, iw, 3), method="bilinear")
     return net.apply(params, frames, queries, query_frame)

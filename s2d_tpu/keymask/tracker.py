@@ -17,6 +17,7 @@ protocol later; every pipeline stage only depends on the protocol.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Protocol, Tuple
 
 import jax
@@ -52,23 +53,35 @@ class CorrelationTracker:
     fb_threshold: float = 4.0
     min_corr: float = 0.3
 
+    point_bucket: int = 256
+
     def track(self, video, queries, query_frame=0):
         video = np.asarray(video, np.float32)
         if video.ndim == 4 and video.shape[-1] == 3:
             grey = video @ np.asarray([0.299, 0.587, 0.114], np.float32)
         else:
             grey = video.reshape(video.shape[:3])
+        # bucket the point count so jit re-traces only per (T, H, W, bucket)
+        # — the visibility extractor calls with a different point count per
+        # seed mask, and server-side compiles are minutes-long
+        queries = np.asarray(queries, np.float32)
+        p = len(queries)
+        pad = -p % self.point_bucket
+        if pad:
+            queries = np.concatenate(
+                [queries, np.tile(queries[:1], (pad, 1))], axis=0
+            )
         tracks, vis = _track_bidirectional(
             jnp.asarray(grey),
-            jnp.asarray(np.asarray(queries, np.float32)),
-            int(query_frame),
+            jnp.asarray(queries),
+            jnp.asarray(query_frame, jnp.int32),
             self.patch,
             self.search,
             self.levels,
             self.fb_threshold,
             self.min_corr,
         )
-        return np.asarray(tracks), np.asarray(vis)
+        return np.asarray(tracks)[:, :p], np.asarray(vis)[:, :p]
 
 
 def _extract_patches(img, centers, patch):
@@ -100,32 +113,99 @@ def _bilinear(img, xs, ys):
     )
 
 
+def _extract_windows(img, anchors, size, half):
+    """(H, W) image + (P, 2) integer xy anchors -> (P, size, size) windows
+    spanning anchor-half .. anchor+size-1-half, via two one-hot
+    contractions (row select then per-point column select). The TPU has no
+    fast arbitrary-gather unit — per-pixel gathers made the original
+    per-candidate patch extraction ~9 s per track call; one-hot matmuls
+    run on the MXU (the same finding as the deformable-attention kernel).
+    Out-of-image rows/columns read 0."""
+    h, w = img.shape
+    offs = jnp.arange(size) - half
+    rows_idx = anchors[:, 1][:, None] + offs[None]  # (P, size)
+    cols_idx = anchors[:, 0][:, None] + offs[None]
+    row_sel = jax.nn.one_hot(rows_idx, h, dtype=img.dtype)  # (P, size, H)
+    rows = jnp.einsum("psh,hw->psw", row_sel, img)  # (P, size, W)
+    col_sel = jax.nn.one_hot(cols_idx, w, dtype=img.dtype)  # (P, size, W)
+    return jnp.einsum("psw,ptw->pst", rows, col_sel)  # (P, size, size)
+
+
+def _frac_shift(win, frac):
+    """Bilinear sub-pixel shift: (P, S, S) windows sampled at +frac (P, 2)
+    -> (P, S-1, S-1)."""
+    fx = frac[:, 0][:, None, None]
+    fy = frac[:, 1][:, None, None]
+    return (
+        win[:, :-1, :-1] * (1 - fx) * (1 - fy)
+        + win[:, :-1, 1:] * fx * (1 - fy)
+        + win[:, 1:, :-1] * (1 - fx) * fy
+        + win[:, 1:, 1:] * fx * fy
+    )
+
+
 def _match_step(img_prev, img_next, pts, patch, search, levels):
     """One frame transition for all points: returns (new_pts, corr).
 
-    The template is extracted ONCE at the original point in the previous
-    frame; both search stages (coarse stride-2, then fine stride-1 around
-    the coarse winner) correlate candidate patches of the next frame
-    against that same template."""
-    template = _extract_patches(img_prev, pts, patch)  # (P, k, k)
+    The template is extracted once at the (fractional) point location in
+    the previous frame; the next frame contributes ONE
+    (2*search + patch)-sized window per point, integer-anchored (two
+    one-hot MXU contractions) and sub-pixel shifted once, and the NCC of
+    the template against every stride-1 offset of that window is computed
+    with grouped convolutions — a full search, strictly finer than the
+    original coarse-to-fine two-stage."""
+    del levels
+    p = pts.shape[0]
+    anchor_f = jnp.floor(pts)
+    frac = pts - anchor_f
+    anchor = anchor_f.astype(jnp.int32)
 
-    def search_stage(centers, radius, step):
-        offsets = jnp.arange(-radius, radius + 1, step, dtype=jnp.float32)
-        oy, ox = jnp.meshgrid(offsets, offsets, indexing="ij")
-        cand = jnp.stack([ox.ravel(), oy.ravel()], -1)  # (C, 2)
+    # geometry: after the sub-pixel shift, window pixel i maps to image
+    # offset (i - half + frac); a VALID patch-conv output at position k then
+    # has its patch CENTRE at offset k + (patch-1)//2 - half + frac, so
+    # half = search + (patch-1)//2 makes k = 0..2*search span exactly
+    # offsets -search..+search around the fractional point
+    half_t = (patch - 1) // 2
+    half_w = search + half_t
+    win_sz = 2 * search + patch + 1  # +1 for the sub-pixel shift
+    tpl_win = _extract_windows(img_prev, anchor, patch + 1, half_t)
+    template = _frac_shift(tpl_win, frac)  # (P, patch, patch)
+    win = _frac_shift(
+        _extract_windows(img_next, anchor, win_sz, half_w), frac
+    )  # (P, 2*search + patch, 2*search + patch)
 
-        def corr_for_cand(off):
-            cp = _extract_patches(img_next, centers + off[None], patch)
-            return _ncc(template, cp)  # (P,)
+    # NCC against every offset via grouped convs: correlation, window sum,
+    # window sum-of-squares share the same sliding geometry
+    dn = jax.lax.conv_dimension_numbers(
+        (1, p, win_sz - 1, win_sz - 1), (p, 1, patch, patch),
+        ("NCHW", "OIHW", "NCHW"),
+    )
 
-        corrs = jax.vmap(corr_for_cand)(cand)  # (C, P)
-        best = jnp.argmax(corrs, axis=0)  # (P,)
-        best_corr = jnp.take_along_axis(corrs, best[None], axis=0)[0]
-        return centers + cand[best], best_corr
+    def slide(kernel, data):
+        return jax.lax.conv_general_dilated(
+            data[None], kernel[:, None], (1, 1), "VALID",
+            dimension_numbers=dn, feature_group_count=p,
+        )[0]  # (P, C, C) with C = 2*search + 1
 
-    new_pts, _ = search_stage(pts, search, 2)
-    new_pts, corr = search_stage(new_pts, 2, 1)
-    return new_pts, corr
+    t0 = template - template.mean(axis=(1, 2), keepdims=True)
+    npix = patch * patch
+    corr_raw = slide(t0, win)
+    w_sum = slide(jnp.ones_like(template), win)
+    w_sq = slide(jnp.ones_like(template), win * win)
+    # corr with the candidate mean removed: sum(t0 * (w - mean_w)) =
+    # sum(t0 * w) (t0 is zero-mean); denominator from var of each window
+    t_var = (t0 * t0).sum(axis=(1, 2))[:, None, None]
+    w_var = w_sq - w_sum * w_sum / npix
+    corrs = corr_raw / (jnp.sqrt(t_var * jnp.maximum(w_var, 0.0)) + 1e-6)
+
+    c = corrs.shape[-1]
+    flat = corrs.reshape(p, c * c)
+    best = jnp.argmax(flat, axis=1)
+    best_corr = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    off_y = (best // c - search).astype(pts.dtype)
+    off_x = (best % c - search).astype(pts.dtype)
+    new_pts = pts + jnp.stack([off_x, off_y], axis=-1)
+    return new_pts, jnp.clip(best_corr, -1.0, 1.0)
 
 
 def _ncc(a, b):
@@ -139,52 +219,59 @@ def _ncc(a, b):
     return num / den
 
 
-def _track_direction(grey, start_pts, start_frame, forward, patch, search, levels):
-    t = grey.shape[0]
-    idxs = (
-        jnp.arange(start_frame, t - 1)
-        if forward
-        else jnp.arange(start_frame, 0, -1)
-    )
-
-    def body(carry, fi):
-        pts = carry
-        src = grey[fi]
-        dst = grey[fi + 1] if forward else grey[fi - 1]
-        new_pts, corr = _match_step(src, dst, pts, patch, search, levels)
-        return new_pts, (new_pts, corr)
-
-    if idxs.shape[0] == 0:
-        return None, None
-    _, (traj, corrs) = jax.lax.scan(body, start_pts, idxs)
-    return traj, corrs
-
-
-@jax.jit
-def _fb_check(grey, pts_a, pts_b, frame_a, patch, search):
-    back, _ = _match_step(grey[frame_a], grey[frame_a], pts_a, patch, search, 1)
-    return back
-
-
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def _track_bidirectional(
     grey, queries, query_frame, patch, search, levels, fb_threshold, min_corr
 ):
+    """One jit for the WHOLE bidirectional track (un-jitted, the scan ops
+    dispatched per-op over the remote transport: measured 5.0 s per call at
+    T=24, P=256 — vs one dispatch here). `query_frame` is a TRACED scalar:
+    both scans run over the full frame range with a started-mask (the carry
+    stays at `queries` until the pass reaches the seed frame), so seeding
+    from a different frame does NOT recompile — the reference pipeline
+    seeds every frame of every video (cotracker_occlusions.py:345-356)."""
     t, h, w = grey.shape
     p = queries.shape[0]
 
-    tracks = jnp.zeros((t, p, 2))
-    corrs = jnp.ones((t, p))
-    tracks = tracks.at[query_frame].set(queries)
+    def direction(idxs, step, started_fn):
+        def body(carry, fi):
+            new_pts, corr = _match_step(
+                grey[fi], grey[fi + step], carry, patch, search, levels
+            )
+            started = started_fn(fi)
+            pts = jnp.where(started, new_pts, queries)
+            corr = jnp.where(started, corr, 1.0)
+            return pts, (pts, corr)
 
-    fwd = _track_direction(grey, queries, query_frame, True, patch, search, levels)
-    if fwd[0] is not None:
-        tracks = tracks.at[query_frame + 1 :].set(fwd[0])
-        corrs = corrs.at[query_frame + 1 :].set(fwd[1])
-    bwd = _track_direction(grey, queries, query_frame, False, patch, search, levels)
-    if bwd[0] is not None:
-        # bwd traj is ordered query_frame-1 ... 0
-        tracks = tracks.at[jnp.arange(query_frame - 1, -1, -1)].set(bwd[0])
-        corrs = corrs.at[jnp.arange(query_frame - 1, -1, -1)].set(bwd[1])
+        return jax.lax.scan(body, queries, idxs)
+
+    # forward: transitions fi -> fi+1 for fi = 0..t-2; active once
+    # fi >= query_frame
+    _, (ftraj, fcorr) = direction(
+        jnp.arange(t - 1), 1, lambda fi: fi >= query_frame
+    )
+    # backward: transitions fi -> fi-1 for fi = t-1..1; active once
+    # fi <= query_frame
+    _, (btraj, bcorr) = direction(
+        jnp.arange(t - 1, 0, -1), -1, lambda fi: fi <= query_frame
+    )
+
+    # ftraj[k-1] is the forward result at frame k; btraj reversed gives the
+    # backward result at frames 0..t-2
+    f_all = jnp.concatenate([queries[None], ftraj], axis=0)  # (t, p, 2)
+    fc_all = jnp.concatenate([jnp.ones((1, p)), fcorr], axis=0)
+    b_all = jnp.concatenate([btraj[::-1], queries[None]], axis=0)
+    bc_all = jnp.concatenate([bcorr[::-1], jnp.ones((1, p))], axis=0)
+
+    frames = jnp.arange(t)
+    use_f = (frames > query_frame)[:, None, None]
+    use_b = (frames < query_frame)[:, None, None]
+    tracks = jnp.where(
+        use_f, f_all, jnp.where(use_b, b_all, queries[None])
+    )
+    corrs = jnp.where(
+        use_f[..., 0], fc_all, jnp.where(use_b[..., 0], bc_all, 1.0)
+    )
 
     inbounds = (
         (tracks[..., 0] >= 0)

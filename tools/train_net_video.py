@@ -98,8 +98,9 @@ def main(argv=None):
         # flash masked cross-attention bounds decoder memory on long videos,
         # and the separable-MXU pallas MSDA kernel runs the deformable
         # encoder ~2x faster (Pallas TPU kernels; XLA paths stay for CPU).
-        # Short clips (<= 8-frame bucket) skip flash — the XLA decoder
-        # attention is ~9 ms/clip faster there and memory is not a concern.
+        # Buckets up to 64 frames skip flash — the XLA decoder attention is
+        # measurably faster wherever its logits fit comfortably; flash
+        # covers the long whole-video tail.
         model_short = None
         if jax.default_backend() == "tpu":
             model = build_model(cfg, msda_impl="pallas", flash_cross_attention=True)
