@@ -84,35 +84,6 @@ class CorrelationTracker:
         return np.asarray(tracks)[:, :p], np.asarray(vis)[:, :p]
 
 
-def _extract_patches(img, centers, patch):
-    """img (H, W); centers (P, 2) xy float -> (P, patch, patch) bilinear."""
-    offs = jnp.arange(patch, dtype=jnp.float32) - (patch - 1) / 2.0
-    dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
-    ys = centers[:, 1, None, None] + dy[None]
-    xs = centers[:, 0, None, None] + dx[None]
-    return _bilinear(img, xs, ys)
-
-
-def _bilinear(img, xs, ys):
-    h, w = img.shape
-    x0 = jnp.floor(xs)
-    y0 = jnp.floor(ys)
-    wx = xs - x0
-    wy = ys - y0
-
-    def at(xi, yi):
-        xi = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
-        yi = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
-        return img[yi, xi]
-
-    return (
-        at(x0, y0) * (1 - wx) * (1 - wy)
-        + at(x0 + 1, y0) * wx * (1 - wy)
-        + at(x0, y0 + 1) * (1 - wx) * wy
-        + at(x0 + 1, y0 + 1) * wx * wy
-    )
-
-
 def _extract_windows(img, anchors, size, half):
     """(H, W) image + (P, 2) integer xy anchors -> (P, size, size) windows
     spanning anchor-half .. anchor+size-1-half, via two one-hot
@@ -206,17 +177,6 @@ def _match_step(img_prev, img_next, pts, patch, search, levels):
     off_x = (best % c - search).astype(pts.dtype)
     new_pts = pts + jnp.stack([off_x, off_y], axis=-1)
     return new_pts, jnp.clip(best_corr, -1.0, 1.0)
-
-
-def _ncc(a, b):
-    """(P, k, k) x (P, k, k) -> (P,) normalized cross-correlation."""
-    a = a.reshape(a.shape[0], -1)
-    b = b.reshape(b.shape[0], -1)
-    a = a - a.mean(axis=1, keepdims=True)
-    b = b - b.mean(axis=1, keepdims=True)
-    num = (a * b).sum(axis=1)
-    den = jnp.sqrt((a * a).sum(axis=1) * (b * b).sum(axis=1)) + 1e-6
-    return num / den
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))

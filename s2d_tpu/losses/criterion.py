@@ -165,11 +165,14 @@ def _uncertainty_threshold(
     quantile's sampling error is ~sqrt(q(1-q)/subsample) ~ 0.3%, smaller
     than the previous per-chunk quantile scatter; the caller's weighted
     mean normalizes by the REALIZED count, so the loss stays unbiased
-    either way). Exact top_k fallback for small pools keeps tiny-config
-    tests bit-identical to the reference-style selection."""
+    either way). Pools smaller than the subsample are bisected WHOLE
+    (exact counting, still sort-free); the exact top_k fallback only
+    covers small pools (the reference-default 12544-point config has
+    S=37632 and must not regress to a full-row sort)."""
     s = values.shape[-1]
-    if s < 2 * subsample:
+    if s < 8192:
         return jax.lax.top_k(values, k)[0][..., -1:]
+    subsample = min(subsample, s)
     sub = values[..., :subsample]
     k_sub = k * (subsample / s)
     lo = sub.min(axis=-1, keepdims=True)
@@ -366,10 +369,11 @@ def _criterion_costs(
         pred_pts = jax.lax.stop_gradient(
             _lane_packed_sample(rows, pool_p)
         ).reshape(bsz, q, tm * p)
+        # NOTE: cost einsums stay exact f32 — the reference matcher is an
+        # fp32 autocast-off island (see match_costs docstring)
         cost = match_costs(
             logits, masks, tgt_pts, pred_pts, tgt_valid,
             cfg.cost_class, cfg.cost_mask, cfg.cost_dice,
-            precision=cfg.bwd_einsum_precision,
         )
         return carry, cost
 

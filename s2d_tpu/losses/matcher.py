@@ -106,11 +106,14 @@ def match_costs(
     cost_dice: float,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
-    """Assemble the (B, Q, N) cost matrix. `precision` follows the AMP
-    gate: the reference computes its matcher costs inside the fp16
-    autocast region (`matcher.py:226` under the trainer's autocast), so
-    the fast-matmul path under AMP is the same noise class; HIGHEST is
-    the exact-f32 default used when AMP is off and in tests."""
+    """Assemble the (B, Q, N) cost matrix.
+
+    Stays exact f32 (HIGHEST) in the trainer: the reference matcher is an
+    explicit fp32 autocast-OFF island (`/root/reference/model_training/
+    mask2former_video/modeling/matcher.py:135,266` — `with
+    autocast(enabled=False)` + `.float()` casts), so bf16-class cost
+    noise would diverge assignments on near-ties. The `precision` knob
+    exists for experiments only."""
     prob0 = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)[..., 0]
     cost_cls = -prob0[:, :, None]  # (B, Q, 1) broadcast over targets
 

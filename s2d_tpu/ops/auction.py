@@ -64,6 +64,8 @@ def _auction_square(
         rounds.
     """
     q = benefit.shape[0]
+    if q == 1:  # top_k(net, 2) needs 2 columns; the 1x1 problem is trivial
+        return jnp.zeros((1,), jnp.int32)
     person_ids = jnp.arange(q)
 
     eps_final = 1.0 / (q + 1) if exact else EPS_FINAL

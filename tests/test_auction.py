@@ -60,3 +60,14 @@ def test_mask2former_scale():
         crange = cost[b].max() - cost[b].min()
         assert len(set(assign[b].tolist())) == 40  # injective incl. padding
         assert got - opt <= 0.01 * crange * len(vidx), (got, opt)
+
+
+def test_single_query_single_target():
+    """Q=1 problems are trivial but must not crash (top_k(net, 2) needs a
+    guard when the squared benefit matrix is 1x1)."""
+    import jax.numpy as jnp
+
+    from s2d_tpu.ops.auction import auction_assign
+
+    out = auction_assign(jnp.asarray([[[3.5]]]), jnp.asarray([[True]]))
+    assert out.shape == (1, 1) and int(out[0, 0]) == 0

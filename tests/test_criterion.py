@@ -253,6 +253,15 @@ def test_uncertainty_threshold_selection():
         np.asarray(jax.lax.top_k(v2, 48)[0][:, -1:]),
     )
 
+    # reference-default pool scale (num_points=12544 * oversample 3):
+    # must take the sort-free bisect path (subsample capped at S) and
+    # still select accurately
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 37632))
+    k = 9408
+    thr = _uncertainty_threshold(v, k)
+    count = np.asarray((v >= thr).sum(axis=-1))
+    assert np.all(np.abs(count - k) < 0.02 * k), count
+
     v = jax.random.normal(jax.random.PRNGKey(0), (2, 131072))
     k = 32768
     thr = _uncertainty_threshold(v, k)

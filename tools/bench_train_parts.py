@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--n", type=int, default=25, help="targets per video")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--sweep-auction", action="store_true")
+    ap.add_argument("--pool-gather", action="store_true")
     args = ap.parse_args()
 
     from s2d_tpu.losses.matcher import hungarian_assign
@@ -64,6 +65,27 @@ def main():
                 flush=True,
             )
         A.THETA = base_theta
+
+    if args.pool_gather:
+        from s2d_tpu.ops.sampling import grid_sample_rows
+
+        for hw_shape, r, s_pts, tag in (
+            ((92, 160), 75, 480000, "pool_src stride4"),
+            ((368, 640), 75, 480000, "pool_tgt fullres"),
+            ((92, 160), 300, 480000, "pool_src N=100"),
+        ):
+            hh, ww = hw_shape
+            k1, k2 = jax.random.split(jax.random.PRNGKey(r), 2)
+            rows = jax.random.normal(k1, (1, hh * ww, r))
+            grid = jax.random.uniform(k2, (1, s_pts, 2)) * 2.0 - 1.0
+            for impl in ("gather", "onehot"):
+                fn = jax.jit(
+                    lambda ro, g, impl=impl, hh=hh, ww=ww: grid_sample_rows(
+                        ro, g, hh, ww, impl=impl
+                    )
+                )
+                t = timed(lambda: fn(rows, grid), args.iters)
+                print(f"{tag} {impl}: {t*1e3:.2f} ms", flush=True)
 
     from s2d_tpu.train.trainer import prepare_distillation_targets
 

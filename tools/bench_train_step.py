@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--t", type=int, default=3)
     ap.add_argument("--hw", type=str, default="368x640")
     ap.add_argument("--n-targets", type=int, default=25)
+    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--teacher-pallas", action="store_true",
                     help="pallas MSDA for the no-grad teacher forward")
     ap.add_argument("--student-pallas", action="store_true",
@@ -89,13 +90,14 @@ def main():
         grad_checkpoint=True,
     )
     rng = jax.random.PRNGKey(0)
+    bb = args.batch
     images = jnp.asarray(
-        np.random.RandomState(0).rand(1, t, h, w, 3), jnp.float32
+        np.random.RandomState(0).rand(bb, t, h, w, 3), jnp.float32
     )
     tgt_masks = jnp.asarray(
-        np.random.RandomState(1).rand(1, n, t, h, w) > 0.7
+        np.random.RandomState(1).rand(bb, n, t, h, w) > 0.7
     )
-    tgt_valid = jnp.asarray(np.ones((1, n), bool))
+    tgt_valid = jnp.asarray(np.ones((bb, n), bool))
 
     print("init...", flush=True)
     t0 = time.perf_counter()
