@@ -1,0 +1,186 @@
+"""Batched auction assignment as ONE pallas TPU kernel.
+
+The XLA auction (`ops/auction.py`) is a vmapped `lax.while_loop` whose
+bidding rounds each cost ~165 us of per-op device sequencing — ~0.46 s of
+the full-scale KD train step for ~3000 serial rounds over 40 tiny
+(~100 x 100) problems that together occupy ~2.6 MB. This kernel runs the
+ENTIRE epsilon-scaled auction inside a single pallas program: the whole
+batch lives in VMEM, every bidding round is a handful of VPU passes over
+(B, P, P) tiles, and the round loop is a real machine loop with no per-op
+dispatch.
+
+Semantics are BIT-IDENTICAL to `ops.auction._auction_square` vmapped over
+the batch (pinned by tests/test_auction.py): same epsilon schedule, same
+partial reset between phases, same lowest-index tie-breaking, same
+max_iters guard. Two formulation changes make it lane-friendly without
+changing results:
+
+  * gather-free bidding: the original bids `prices[i1] + (w1 - w2) + eps`
+    and scatter-maxes into `best_bid`. Since every bidder on object o has
+    `prices[i1] == prices[o]`, the bid is reconstructed densely as
+    `(prices[o] + (w1 - w2)) + eps` under the (person, object) bid mask —
+    the SAME fp association as the scalar form, so ties break
+    identically — and the scatter-max becomes a masked max reduction.
+  * owner/assignment scatters become dense compares against a
+    `broadcasted_iota` of person ids reduced over one axis.
+
+The reference ships cost matrices to scipy on the host per matcher call
+(`/root/reference/model_training/mask2former_video/modeling/matcher.py:
+287-289`); this keeps the solve on-chip (the axon runtime has no host
+callbacks) at microseconds-per-round cost.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1.0e18  # "no bid" sentinel (matches ops.auction._NEG)
+_NEG_BENEFIT = -1.0e9  # benefit of lane-padding objects: never preferred
+
+
+def _batched_auction_kernel(
+    benefit_ref, out_ref, *, q: int, eps_list: tuple, max_iters: int
+):
+    benefit = benefit_ref[...]  # (B, P, P) f32, person-major
+    b, p, _ = benefit.shape
+
+    person_ids2 = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)  # (B, P)
+    person_valid = person_ids2 < q
+    # (B, P_person, P_obj) iotas for dense masks
+    pid3 = jax.lax.broadcasted_iota(jnp.int32, (b, p, p), 1)
+    oid3 = jax.lax.broadcasted_iota(jnp.int32, (b, p, p), 2)
+
+    def assigned_persons(owner):
+        # owner (B, P_obj) person-id per object (-1 = unowned)
+        # person assigned iff some object names it (int32 reductions:
+        # Mosaic has no bool reduce)
+        match = owner[:, :, None] == pid3.transpose(0, 2, 1)
+        return match.astype(jnp.int32).max(axis=1) > 0
+
+    def person_to_obj(owner):
+        # (B, P) object per person, or P when unassigned
+        match = owner[:, :, None] == pid3.transpose(0, 2, 1)  # (B, obj, per)
+        return jnp.where(
+            match, oid3.transpose(0, 2, 1), jnp.int32(p)
+        ).min(axis=1)
+
+    def run_phase(carry, eps):
+        prices, owner = carry
+
+        # --- partial reset: keep pairs satisfying eps-CS at the new eps
+        net = benefit - prices[:, None, :]  # (B, per, obj)
+        best = net.max(axis=-1)  # (B, per)
+        owned = owner[:, :, None] == pid3.transpose(0, 2, 1)  # (B, obj, per)
+        own_net = jnp.where(
+            owned, net.transpose(0, 2, 1), _NEG
+        ).max(axis=1)  # (B, per)
+        has_obj = owned.astype(jnp.int32).max(axis=1) > 0
+        # int32 mask: Mosaic cannot insert a minor dim on i1 vectors
+        keep = (
+            has_obj & (own_net >= best - eps) & person_valid
+        ).astype(jnp.int32)
+        # drop objects whose owner re-bids
+        keep_at_owner = (
+            (owner[:, :, None] == pid3.transpose(0, 2, 1)).astype(jnp.int32)
+            * keep[:, None, :]
+        ).max(axis=2) > 0
+        owner0 = jnp.where(keep_at_owner, owner, jnp.int32(-1))
+
+        def cond(state):
+            prices, owner, it = state
+            done = (
+                (assigned_persons(owner) | ~person_valid)
+                .astype(jnp.int32).min() > 0
+            )
+            return jnp.logical_not(done) & (it < max_iters)
+
+        def body(state):
+            prices, owner, it = state
+            # int32 mask: Mosaic cannot insert a minor dim on i1 vectors
+            unassigned = (
+                ~assigned_persons(owner) & person_valid
+            ).astype(jnp.int32)
+            net = benefit - prices[:, None, :]
+            w1 = net.max(axis=-1)
+            i1 = jnp.where(net >= w1[..., None], oid3, jnp.int32(p)).min(
+                axis=-1
+            )  # lowest-index argmax (top_k tie order)
+            w2 = jnp.where(oid3 == i1[..., None], _NEG, net).max(axis=-1)
+            incr = w1 - w2  # raise over the current price
+
+            # dense bids with the SAME fp association as the scalar form
+            # (prices[i1] + (w1 - w2)) + eps — bit-exact tie behavior
+            bids = (
+                unassigned[:, :, None] * (oid3 == i1[..., None]).astype(jnp.int32)
+            ) > 0
+            bid3 = (prices[:, None, :] + incr[..., None]) + eps
+            bid3 = jnp.where(bids, bid3, _NEG)
+            best_bid = bid3.max(axis=1)  # (B, obj)
+            contested = best_bid > _NEG
+            winner = jnp.where(
+                bids & (bid3 >= best_bid[:, None, :]), pid3, jnp.int32(p)
+            ).min(axis=1)
+            owner = jnp.where(contested, winner, owner)
+            prices = jnp.where(contested, best_bid, prices)
+            return prices, owner, it + 1
+
+        prices, owner, _ = jax.lax.while_loop(
+            cond, body, (prices, owner0, jnp.int32(0))
+        )
+        return prices, owner
+
+    prices = jnp.zeros((b, p), jnp.float32)
+    owner = jnp.full((b, p), -1, jnp.int32)
+    for eps in eps_list:
+        prices, owner = run_phase((prices, owner), eps)
+
+    pobj = person_to_obj(owner)
+    out_ref[...] = jnp.where(pobj >= p, -1, pobj).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q", "eps_list", "max_iters", "interpret")
+)
+def auction_square_pallas(
+    benefit: jnp.ndarray,
+    q: int,
+    eps_list: tuple,
+    max_iters: int = 3000,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Solve a batch of SQUARE quantized assignment problems on-chip.
+
+    Args:
+      benefit: (B, q, q) f32 benefit matrices, person-major (rows bid).
+      q: problem size (static).
+      eps_list: static epsilon schedule (from ops.auction).
+    Returns:
+      (B, q) int32 object per person (-1 only if max_iters was hit).
+    """
+    bsz = benefit.shape[0]
+    p = max(128, ((q + 127) // 128) * 128)
+    pad = p - q
+    if pad:
+        benefit = jnp.pad(
+            benefit, ((0, 0), (0, pad), (0, pad)),
+            constant_values=_NEG_BENEFIT,
+        )
+    out = pl.pallas_call(
+        functools.partial(
+            _batched_auction_kernel, q=q, eps_list=tuple(eps_list),
+            max_iters=max_iters,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, p), jnp.int32),
+        # the whole batch lives in VMEM: ~10 live (B, P, P) f32/i32
+        # intermediates at B=40, P=128 ≈ 26 MB > the 16 MB default
+        # scoped-vmem limit (v5e VMEM is 128 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(benefit.astype(jnp.float32))
+    return out[:, :q]

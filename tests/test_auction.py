@@ -71,3 +71,47 @@ def test_single_query_single_target():
 
     out = auction_assign(jnp.asarray([[[3.5]]]), jnp.asarray([[True]]))
     assert out.shape == (1, 1) and int(out[0, 0]) == 0
+
+
+def test_pallas_matches_xla_auction():
+    """The single-kernel pallas auction (interpret mode on CPU) must return
+    BIT-IDENTICAL assignments to the vmapped XLA auction: same epsilon
+    schedule, same fp association in the bids, same tie-breaking."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import s2d_tpu.ops.auction as A
+    from s2d_tpu.ops.auction_pallas import auction_square_pallas
+
+    rng = np.random.RandomState(7)
+    for b, q, n in [(3, 100, 25), (2, 8, 3), (4, 37, 37), (2, 150, 40)]:
+        cost = jnp.asarray(rng.rand(b, q, n).astype(np.float32) * 10)
+        valid = jnp.asarray(rng.rand(b, n) > 0.2)
+        prev, A.IMPL = A.IMPL, "xla"
+        try:
+            ref = np.asarray(A.auction_assign(cost, valid))
+        finally:
+            A.IMPL = prev
+
+        obj_ids = jnp.arange(q, dtype=jnp.float32)
+        dummy_rows = jnp.arange(q - n, dtype=jnp.float32)
+        div = -0.45 / q * ((obj_ids[None, :] + dummy_rows[:, None]) % q)
+
+        def build(c, v):
+            worst = jnp.max(jnp.where(v[None, :], c, -jnp.inf))
+            worst = jnp.where(jnp.isfinite(worst), worst, 0.0)
+            c = jnp.where(v[None, :], c, worst + 1.0)
+            ben = -c.T
+            scale = A.QUANT / jnp.maximum(ben.max() - ben.min(), 1e-12)
+            return jnp.concatenate(
+                [jnp.round((ben - ben.min()) * scale), div], 0
+            )
+
+        bens = jax.vmap(build)(cost, valid)
+        got = np.asarray(
+            auction_square_pallas(
+                bens, q, A._eps_schedule(q, False), interpret=True
+            )
+        )[:, :n]
+        assert np.array_equal(ref, got), (b, q, n)

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--n", type=int, default=25, help="targets per video")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--sweep-auction", action="store_true")
+    ap.add_argument("--auction-impl", action="store_true",
+                    help="time the xla vs pallas auction backends")
     ap.add_argument("--pool-gather", action="store_true")
     args = ap.parse_args()
 
@@ -46,6 +48,23 @@ def main():
     fn = jax.jit(hungarian_assign)
     t = timed(lambda: fn(cost, valid), args.iters)
     print(f"hungarian_assign (20, 100, {args.n}): {t*1e3:.1f} ms", flush=True)
+
+    if args.auction_impl:
+        for nb in (20, 40):
+            c = jax.random.normal(jax.random.PRNGKey(nb), (nb, 100, args.n)) * 5.0
+            v = jnp.ones((nb, args.n), bool)
+            outs = {}
+            for impl in ("xla", "pallas"):
+                A.IMPL = impl
+                fn = jax.jit(lambda c, v: A.auction_assign(c, v))
+                t = timed(lambda: fn(c, v), args.iters)
+                outs[impl] = jax.device_get(fn(c, v))
+                print(f"auction ({nb}, 100, {args.n}) {impl}: {t*1e3:.2f} ms",
+                      flush=True)
+            A.IMPL = "auto"
+            import numpy as _np
+            print("  assignments identical:",
+                  bool(_np.array_equal(outs["xla"], outs["pallas"])), flush=True)
 
     if args.sweep_auction:
         import functools as _ft
