@@ -67,6 +67,13 @@ class CriterionConfig:
     # per full-scale KD step on v5e. The trainer resolves this from
     # SOLVER.AMP (make_train_step): amp on -> DEFAULT, off -> HIGHEST.
     bwd_einsum_precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    # dtype of the LOSS-side pool_src gather (prediction values at the
+    # shared pool). The per-layer (R, S) row gathers are HBM-bytes-bound
+    # (~8 ms/layer f32 at S=480K on v5e); bf16 halves the fetched bytes.
+    # Only the loss side follows AMP — the matcher's pred/tgt sampling
+    # stays f32 because the reference matcher is an fp32 autocast-off
+    # island (see match_costs). Resolved from SOLVER.AMP like the above.
+    gather_dtype: jnp.dtype = jnp.float32
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -114,11 +121,14 @@ def _lane_packed_sample(
     maps: jnp.ndarray,
     pool: jnp.ndarray,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """All rows share the coords: (R, H, W) maps, (S, 2) pool -> (R, S) via
-    ONE row-gather with rows packed as lanes (matmul-backward custom vjp)."""
+    ONE row-gather with rows packed as lanes (matmul-backward custom vjp).
+    `dtype` is the gather compute/output dtype — bf16 halves the fetched
+    HBM bytes of this bytes-bound op (AMP-gated by the caller)."""
     r, h, w = maps.shape
-    rows = maps.reshape(r, h * w).T[None]  # (1, HW, R)
+    rows = maps.astype(dtype).reshape(r, h * w).T[None]  # (1, HW, R)
     grid = (2.0 * pool - 1.0)[None]
     return _pool_gather(rows, grid, h, w, precision)[0].T
 
@@ -215,9 +225,11 @@ def _loss_masks(
     num_uncertain = int(cfg.importance_sample_ratio * p)
 
     pool_src = checkpoint_name(
-        _lane_packed_sample(rows_src, pool, cfg.bwd_einsum_precision),
+        _lane_packed_sample(
+            rows_src, pool, cfg.bwd_einsum_precision, cfg.gather_dtype
+        ),
         "pool_src",
-    )  # (R, S), grads flow
+    ).astype(jnp.float32)  # (R, S), grads flow; loss math stays f32
 
     # GATHER-FREE point selection: lane-axis take_along_axis on (R, S) was
     # measured as the wall of the full-scale train step (~38 of 42 s at
@@ -298,24 +310,33 @@ def match_outputs(
     return hungarian_assign(cost, tgt_valid)
 
 
-def _criterion_costs(
+def _criterion_costs_multi(
     rng: jax.Array,
     outputs: Dict[str, jnp.ndarray],
-    tgt_masks: jnp.ndarray,
-    tgt_valid: jnp.ndarray,
-    cfg: CriterionConfig,
-) -> Dict[str, jnp.ndarray]:
-    """Everything up to (but excluding) the assignment solve: the shared
-    point pool, target values, per-layer stacked cost matrices, and the
-    loss-side context. Split out so `set_criterion_pair` can batch the
-    auction solves of BOTH criteria (supervised + distillation) into one
-    call — the vmapped while_loop then costs max(rounds) across all 2*L*B
-    problems instead of running twice back-to-back (the auction was
-    measured at ~1.4 s of the 2.6 s full-scale KD step, ~half of it this
-    serialization)."""
-    num_masks = jnp.maximum(
-        tgt_valid.sum().astype(jnp.float32) / cfg.world_size, 1.0
-    )
+    target_sets: List[Tuple[jnp.ndarray, jnp.ndarray, CriterionConfig]],
+) -> List[Dict[str, jnp.ndarray]]:
+    """Everything up to (but excluding) the assignment solve, for one set
+    of predictions scored against one OR MORE target sets: the shared
+    point pool, per-set target values, per-layer stacked cost matrices,
+    and the loss-side context.
+
+    Multiple target sets arise in KD training, where the SAME student
+    outputs are matched both to ground truth and to teacher-distilled
+    targets (trainer.py's default path passes the same outputs dict to
+    both criteria). Scoring them together means the point pool, the
+    Bernoulli random-point draw, and — the expensive part — the per-layer
+    prediction-value gather `pred_pts` (~7.4 ms x 10 layers at
+    TRAIN_NUM_POINTS=160000 on v5e) are computed ONCE instead of per
+    criterion. Sharing the pool across the two criteria is the same
+    common-random-numbers argument as sharing it across layers: each
+    loss remains an unbiased estimate of its integral (the reference
+    draws independently per criterion call, criterion.py:376-383, which
+    only decorrelates the two estimates' noise).
+
+    Split out so `set_criterion_pair` can ALSO batch the auction solves
+    of both criteria into one call — the vmapped solve then costs
+    max(rounds) across all 2*L*B problems instead of running twice
+    back-to-back."""
     layer_outputs = [
         (None, outputs["pred_logits"], outputs["pred_masks"])
     ] + [
@@ -334,31 +355,43 @@ def _criterion_costs(
     # 28.8G of 15.75G HBM at the full R50 KD step); scan serializes them
     # so peak memory is ONE layer's pool.
     n_layers = len(layer_outputs)
-    b = tgt_valid.shape[0]
     logits_stack = jnp.stack([l for _, l, _ in layer_outputs])
     masks_stack = jnp.stack([m for _, _, m in layer_outputs])
 
-    # ONE shared point pool + full-resolution target-value gather, hoisted
-    # above BOTH the matcher and the per-layer losses. The matcher's point
-    # set is the first num_points of the pool (common random numbers across
-    # layers and videos), so its target values are a slice of pool_tgt —
-    # the reference re-gathers full-resolution targets per layer
-    # (matcher.py:252-264); at TRAIN_NUM_POINTS=160000 those 20 per-step
-    # full-res gathers were measurable and carry no statistical benefit.
-    rng, k_pool, k_bern = jax.random.split(rng, 3)
-    num_sampled = int(cfg.num_points * cfg.oversample_ratio)
-    pool = jax.random.uniform(k_pool, (num_sampled, 2))
-    bsz, nsl, t = tgt_masks.shape[:3]
-    rows_tgt = tgt_masks.reshape(bsz * nsl * t, *tgt_masks.shape[3:])
-    pool_tgt = jax.lax.stop_gradient(
-        _lane_packed_sample(rows_tgt.astype(jnp.float32), pool)
-    )
+    cfg0 = target_sets[0][2]
+    assert all(
+        c.num_points == cfg0.num_points
+        and c.oversample_ratio == cfg0.oversample_ratio
+        for _, _, c in target_sets
+    ), "target sets sharing one pool must agree on its size"
 
-    p = cfg.num_points
+    # ONE shared point pool + per-set full-resolution target-value gather,
+    # hoisted above BOTH the matcher and the per-layer losses. The
+    # matcher's point set is the first num_points of the pool (common
+    # random numbers across layers and videos), so its target values are a
+    # slice of pool_tgt — the reference re-gathers full-resolution targets
+    # per layer (matcher.py:252-264); at TRAIN_NUM_POINTS=160000 those 20
+    # per-step full-res gathers were measurable and carry no statistical
+    # benefit.
+    rng, k_pool, k_bern = jax.random.split(rng, 3)
+    num_sampled = int(cfg0.num_points * cfg0.oversample_ratio)
+    pool = jax.random.uniform(k_pool, (num_sampled, 2))
+    p = cfg0.num_points
     pool_p = pool[:p]
-    tgt_pts = pool_tgt.reshape(bsz, nsl, t, num_sampled)[..., :p].reshape(
-        bsz, nsl, t * p
-    )
+
+    per_set = []
+    for tgt_masks, tgt_valid, cfg in target_sets:
+        bsz, nsl, t = tgt_masks.shape[:3]
+        rows_tgt = tgt_masks.reshape(bsz * nsl * t, *tgt_masks.shape[3:])
+        pool_tgt = jax.lax.stop_gradient(
+            _lane_packed_sample(rows_tgt.astype(jnp.float32), pool)
+        )
+        tgt_pts = pool_tgt.reshape(bsz, nsl, t, num_sampled)[..., :p].reshape(
+            bsz, nsl, t * p
+        )
+        per_set.append((pool_tgt, tgt_pts))
+
+    bsz = target_sets[0][0].shape[0]
 
     def cost_step(carry, inp):
         logits, masks = inp
@@ -366,55 +399,94 @@ def _criterion_costs(
         rows = masks.astype(jnp.float32).reshape(
             bsz * q * tm, *masks.shape[3:]
         )
+        # ONE prediction-value gather per layer, shared by all target sets
         pred_pts = jax.lax.stop_gradient(
             _lane_packed_sample(rows, pool_p)
         ).reshape(bsz, q, tm * p)
         # NOTE: cost einsums stay exact f32 — the reference matcher is an
         # fp32 autocast-off island (see match_costs docstring)
-        cost = match_costs(
-            logits, masks, tgt_pts, pred_pts, tgt_valid,
-            cfg.cost_class, cfg.cost_mask, cfg.cost_dice,
+        costs = tuple(
+            match_costs(
+                logits, masks, tgt_pts, pred_pts, tgt_valid,
+                cfg.cost_class, cfg.cost_mask, cfg.cost_dice,
+            )
+            for (tgt_masks, tgt_valid, cfg), (_, tgt_pts) in zip(
+                target_sets, per_set
+            )
         )
-        return carry, cost
+        return carry, costs
 
-    _, stacked_cost = jax.lax.scan(
+    _, cost_stacks = jax.lax.scan(
         cost_step, 0, (logits_stack, masks_stack)
-    )  # (L, B, Q, N)
-    stacked_cost = stacked_cost.reshape(n_layers * b, *stacked_cost.shape[2:])
-    stacked_valid = jnp.tile(tgt_valid, (n_layers, 1))
+    )  # tuple of (L, B, Q, N_i)
 
-    if cfg.masks_only:
-        empty = tgt_masks.reshape(*tgt_masks.shape[:3], -1).sum(-1) == 0
-        row_keep = tgt_valid[:, :, None] & ~empty
-    else:
-        row_keep = jnp.broadcast_to(tgt_valid[:, :, None], tgt_masks.shape[:3])
+    # ONE shared Bernoulli random-point draw for all layers and sets (2.9G
+    # uniform draws per criterion call when drawn per layer; sharing keeps
+    # each layer's loss an unbiased estimate — see _loss_masks). Sets with
+    # matching row counts reuse the first draw.
+    bern_cache: Dict[Tuple[int, int], jnp.ndarray] = {}
+    states = []
+    for (tgt_masks, tgt_valid, cfg), (pool_tgt, _), stacked_cost in zip(
+        target_sets, per_set, cost_stacks
+    ):
+        bsz, nsl, t = tgt_masks.shape[:3]
+        b = tgt_valid.shape[0]
+        num_masks = jnp.maximum(
+            tgt_valid.sum().astype(jnp.float32) / cfg.world_size, 1.0
+        )
+        stacked_cost = stacked_cost.reshape(
+            n_layers * b, *stacked_cost.shape[2:]
+        )
+        stacked_valid = jnp.tile(tgt_valid, (n_layers, 1))
 
-    # ONE shared Bernoulli random-point draw for all layers (2.9G uniform
-    # draws per criterion call when drawn per layer; sharing keeps each
-    # layer's loss an unbiased estimate — see _loss_masks)
-    num_random = p - int(cfg.importance_sample_ratio * p)
-    if num_random > 0:
-        bern_wts = jax.random.uniform(
-            k_bern, (bsz * nsl * t, num_sampled)
-        ) < (num_random / num_sampled)
-    else:
-        bern_wts = jnp.zeros((bsz * nsl * t, num_sampled), jnp.bool_)
+        if cfg.masks_only:
+            empty = tgt_masks.reshape(*tgt_masks.shape[:3], -1).sum(-1) == 0
+            row_keep = tgt_valid[:, :, None] & ~empty
+        else:
+            row_keep = jnp.broadcast_to(
+                tgt_valid[:, :, None], tgt_masks.shape[:3]
+            )
 
-    return {
-        "stacked_cost": stacked_cost,
-        "stacked_valid": stacked_valid,
-        "n_layers": n_layers,
-        "b": b,
-        "layer_aux_ids": [aux_i for aux_i, _, _ in layer_outputs],
-        "logits_stack": logits_stack,
-        "masks_stack": masks_stack,
-        "tgt_valid": tgt_valid,
-        "pool": pool,
-        "pool_tgt": pool_tgt,
-        "bern_wts": bern_wts,
-        "row_keep": row_keep,
-        "num_masks": num_masks,
-    }
+        num_random = p - int(cfg.importance_sample_ratio * p)
+        rows = bsz * nsl * t
+        if num_random > 0:
+            key = (rows, num_random)
+            if key not in bern_cache:
+                bern_cache[key] = jax.random.uniform(
+                    k_bern, (rows, num_sampled)
+                ) < (num_random / num_sampled)
+            bern_wts = bern_cache[key]
+        else:
+            bern_wts = jnp.zeros((rows, num_sampled), jnp.bool_)
+
+        states.append({
+            "stacked_cost": stacked_cost,
+            "stacked_valid": stacked_valid,
+            "n_layers": n_layers,
+            "b": b,
+            "layer_aux_ids": [aux_i for aux_i, _, _ in layer_outputs],
+            "logits_stack": logits_stack,
+            "masks_stack": masks_stack,
+            "tgt_valid": tgt_valid,
+            "pool": pool,
+            "pool_tgt": pool_tgt,
+            "bern_wts": bern_wts,
+            "row_keep": row_keep,
+            "num_masks": num_masks,
+        })
+    return states
+
+
+def _criterion_costs(
+    rng: jax.Array,
+    outputs: Dict[str, jnp.ndarray],
+    tgt_masks: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    cfg: CriterionConfig,
+) -> Dict[str, jnp.ndarray]:
+    return _criterion_costs_multi(
+        rng, outputs, [(tgt_masks, tgt_valid, cfg)]
+    )[0]
 
 
 def _criterion_losses(
@@ -432,7 +504,8 @@ def _criterion_losses(
     # is still recomputed.
     r_rows = state["pool_tgt"].shape[0]
     s_pool = state["pool_tgt"].shape[1]
-    save_bytes = r_rows * s_pool * 4 * len(state["layer_aux_ids"])
+    itemsize = jnp.dtype(cfg.gather_dtype).itemsize
+    save_bytes = r_rows * s_pool * itemsize * len(state["layer_aux_ids"])
     if save_bytes <= int(2e9):
         policy = jax.checkpoint_policies.save_only_these_names("pool_src")
         loss_fn = jax.checkpoint(
@@ -502,9 +575,30 @@ def set_criterion_pair(
     treats padded columns as invalid) and concatenated along the batch
     axis; the assignment results are identical to two separate solves but
     the serial bidding rounds cost max(...) across all problems instead of
-    the sum."""
-    st_a = _criterion_costs(rng_a, outputs_a, tgt_masks_a, tgt_valid_a, cfg_a)
-    st_b = _criterion_costs(rng_b, outputs_b, tgt_masks_b, tgt_valid_b, cfg_b)
+    the sum.
+
+    When both criteria score the SAME outputs (the trainer's default KD
+    path), they also share one point pool and one per-layer prediction
+    gather — see _criterion_costs_multi. `rng_b` is unused in that case."""
+    if (
+        outputs_a is outputs_b
+        and cfg_a.num_points == cfg_b.num_points
+        and cfg_a.oversample_ratio == cfg_b.oversample_ratio
+    ):
+        st_a, st_b = _criterion_costs_multi(
+            rng_a, outputs_a,
+            [
+                (tgt_masks_a, tgt_valid_a, cfg_a),
+                (tgt_masks_b, tgt_valid_b, cfg_b),
+            ],
+        )
+    else:
+        st_a = _criterion_costs(
+            rng_a, outputs_a, tgt_masks_a, tgt_valid_a, cfg_a
+        )
+        st_b = _criterion_costs(
+            rng_b, outputs_b, tgt_masks_b, tgt_valid_b, cfg_b
+        )
 
     n_a = st_a["stacked_cost"].shape[-1]
     n_b = st_b["stacked_cost"].shape[-1]

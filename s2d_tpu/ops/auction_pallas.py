@@ -50,23 +50,24 @@ def _batched_auction_kernel(
 
     person_ids2 = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)  # (B, P)
     person_valid = person_ids2 < q
-    # (B, P_person, P_obj) iotas for dense masks
+    # (B, P_person, P_obj) iotas for dense masks; the transposed views are
+    # separate iotas (free) rather than data transposes
     pid3 = jax.lax.broadcasted_iota(jnp.int32, (b, p, p), 1)
     oid3 = jax.lax.broadcasted_iota(jnp.int32, (b, p, p), 2)
+    pid3_t = jax.lax.broadcasted_iota(jnp.int32, (b, p, p), 2)  # (B, obj, per)
+    oid3_t = jax.lax.broadcasted_iota(jnp.int32, (b, p, p), 1)  # (B, obj, per)
 
     def assigned_persons(owner):
         # owner (B, P_obj) person-id per object (-1 = unowned)
         # person assigned iff some object names it (int32 reductions:
         # Mosaic has no bool reduce)
-        match = owner[:, :, None] == pid3.transpose(0, 2, 1)
+        match = owner[:, :, None] == pid3_t
         return match.astype(jnp.int32).max(axis=1) > 0
 
     def person_to_obj(owner):
         # (B, P) object per person, or P when unassigned
-        match = owner[:, :, None] == pid3.transpose(0, 2, 1)  # (B, obj, per)
-        return jnp.where(
-            match, oid3.transpose(0, 2, 1), jnp.int32(p)
-        ).min(axis=1)
+        match = owner[:, :, None] == pid3_t  # (B, obj, per)
+        return jnp.where(match, oid3_t, jnp.int32(p)).min(axis=1)
 
     def run_phase(carry, eps):
         prices, owner = carry
@@ -74,7 +75,7 @@ def _batched_auction_kernel(
         # --- partial reset: keep pairs satisfying eps-CS at the new eps
         net = benefit - prices[:, None, :]  # (B, per, obj)
         best = net.max(axis=-1)  # (B, per)
-        owned = owner[:, :, None] == pid3.transpose(0, 2, 1)  # (B, obj, per)
+        owned = owner[:, :, None] == pid3_t  # (B, obj, per)
         own_net = jnp.where(
             owned, net.transpose(0, 2, 1), _NEG
         ).max(axis=1)  # (B, per)
@@ -85,25 +86,25 @@ def _batched_auction_kernel(
         ).astype(jnp.int32)
         # drop objects whose owner re-bids
         keep_at_owner = (
-            (owner[:, :, None] == pid3.transpose(0, 2, 1)).astype(jnp.int32)
+            (owner[:, :, None] == pid3_t).astype(jnp.int32)
             * keep[:, None, :]
         ).max(axis=2) > 0
         owner0 = jnp.where(keep_at_owner, owner, jnp.int32(-1))
+        # carried as int32: Mosaic rejects i1 vectors in while-loop state
+        assigned0 = assigned_persons(owner0).astype(jnp.int32)
 
         def cond(state):
-            prices, owner, it = state
+            prices, owner, assigned, it = state
             done = (
-                (assigned_persons(owner) | ~person_valid)
-                .astype(jnp.int32).min() > 0
+                jnp.maximum(assigned, (~person_valid).astype(jnp.int32))
+                .min() > 0
             )
             return jnp.logical_not(done) & (it < max_iters)
 
         def body(state):
-            prices, owner, it = state
+            prices, owner, assigned, it = state
             # int32 mask: Mosaic cannot insert a minor dim on i1 vectors
-            unassigned = (
-                ~assigned_persons(owner) & person_valid
-            ).astype(jnp.int32)
+            unassigned = (1 - assigned) * person_valid.astype(jnp.int32)
             net = benefit - prices[:, None, :]
             w1 = net.max(axis=-1)
             i1 = jnp.where(net >= w1[..., None], oid3, jnp.int32(p)).min(
@@ -126,10 +127,13 @@ def _batched_auction_kernel(
             ).min(axis=1)
             owner = jnp.where(contested, winner, owner)
             prices = jnp.where(contested, best_bid, prices)
-            return prices, owner, it + 1
+            return (
+                prices, owner,
+                assigned_persons(owner).astype(jnp.int32), it + 1,
+            )
 
-        prices, owner, _ = jax.lax.while_loop(
-            cond, body, (prices, owner0, jnp.int32(0))
+        prices, owner, _, _ = jax.lax.while_loop(
+            cond, body, (prices, owner0, assigned0, jnp.int32(0))
         )
         return prices, owner
 

@@ -129,11 +129,15 @@ def make_train_step(
         importance_sample_ratio=mf.importance_sample_ratio,
         masks_only=mf.loss_strategy == "masks-only",
         # under AMP the criterion's point-gather backward uses the fast
-        # (bf16-class) matmul path — the same noise class as the
-        # reference's fp16-autocast criterion; exact f32 otherwise
+        # (bf16-class) matmul path and the loss-side pool_src gather
+        # fetches bf16 — the same noise class as the reference's
+        # fp16-autocast criterion; exact f32 otherwise
         bwd_einsum_precision=jax.lax.Precision.DEFAULT
         if cfg.solver.amp.enabled
         else jax.lax.Precision.HIGHEST,
+        gather_dtype=jnp.bfloat16
+        if cfg.solver.amp.enabled
+        else jnp.float32,
     )
     kd_crit_cfg = dataclasses.replace(
         crit_cfg, masks_only=mf.distillation_loss_strategy == "masks-only"

@@ -197,8 +197,12 @@ def test_chunked_topk_selection():
 
 def test_set_criterion_pair_matches_two_calls():
     """The batched-auction pair produces the same losses as two separate
-    set_criterion calls with the same rngs (solves are independent under
-    vmap, so batching them changes nothing numerically)."""
+    set_criterion calls (solves are independent under vmap, so batching
+    them changes nothing numerically). When both criteria score the SAME
+    outputs dict they share rng_a's point pool (common random numbers —
+    see _criterion_costs_multi), so criterion B matches a separate call
+    keyed by rng_A; with distinct outputs objects each keeps its own
+    rng."""
     import jax
     import jax.numpy as jnp
 
@@ -222,19 +226,33 @@ def test_set_criterion_pair_matches_two_calls():
     masks_b = jax.random.uniform(k2, (b, nb, t, h, w)) > 0.6
     valid_b = jnp.ones((b, nb), bool)
 
-    la = set_criterion(k3, outputs, masks_a, valid_a, cfg)
-    lb = set_criterion(k4, outputs, masks_b, valid_b, cfg)
-    pa, pb = set_criterion_pair(
-        k3, outputs, masks_a, valid_a, cfg,
-        k4, outputs, masks_b, valid_b, cfg,
-    )
-    for ref, got in ((la, pa), (lb, pb)):
+    def check(ref, got):
         assert set(ref) == set(got)
         for key in ref:
             np.testing.assert_allclose(
                 float(got[key]), float(ref[key]), rtol=1e-5, atol=1e-6,
                 err_msg=key,
             )
+
+    # shared outputs: one pool (rng_a's), one pred gather for both
+    la = set_criterion(k3, outputs, masks_a, valid_a, cfg)
+    lb_shared = set_criterion(k3, outputs, masks_b, valid_b, cfg)
+    pa, pb = set_criterion_pair(
+        k3, outputs, masks_a, valid_a, cfg,
+        k4, outputs, masks_b, valid_b, cfg,
+    )
+    check(la, pa)
+    check(lb_shared, pb)
+
+    # distinct outputs objects: each criterion keeps its own rng stream
+    outputs2 = dict(outputs)
+    lb = set_criterion(k4, outputs2, masks_b, valid_b, cfg)
+    pa, pb = set_criterion_pair(
+        k3, outputs, masks_a, valid_a, cfg,
+        k4, outputs2, masks_b, valid_b, cfg,
+    )
+    check(la, pa)
+    check(lb, pb)
 
 
 def test_uncertainty_threshold_selection():

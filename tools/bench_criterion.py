@@ -1,0 +1,125 @@
+"""Standalone full-scale criterion benchmark (no model): decomposes the
+train step's "point machinery" — pool gathers, selection, ce/dice, matcher
+costs, auction — at the real KD shapes (B=1, Q=100, T=3, stride-4 preds,
+full-res targets, 10 decoder layers, both criteria).
+
+fwd+bwd is timed through jax.value_and_grad w.r.t. the prediction masks
+and logits, matching how the criterion sits inside the train step."""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s2d_tpu.utils import jax_setup
+
+jax_setup.enable_compilation_cache()
+
+
+def timed(fn, iters):
+    out = fn()
+    _ = float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    _ = float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
+    return (time.perf_counter() - start) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--n", type=int, default=25)
+    ap.add_argument("--num-points", type=int, default=160000)
+    ap.add_argument("--layers", type=int, default=10)
+    ap.add_argument("--amp", action="store_true",
+                    help="DEFAULT-precision bwd einsums (SOLVER.AMP on)")
+    ap.add_argument("--no-selection", action="store_true")
+    ap.add_argument("--fixed-assign", action="store_true")
+    ap.add_argument("--single", action="store_true",
+                    help="one criterion instead of the KD pair")
+    args = ap.parse_args()
+
+    from s2d_tpu.losses import criterion as C
+
+    b, q, t, n = 1, 100, 3, args.n
+    hs, ws = 92, 160  # stride-4 prediction grid
+    hf, wf = 368, 640  # full-res targets
+    l = args.layers
+
+    cfg = C.CriterionConfig(
+        num_points=args.num_points,
+        importance_sample_ratio=0.0 if args.no_selection else 0.75,
+        bwd_einsum_precision=(
+            jax.lax.Precision.DEFAULT if args.amp
+            else jax.lax.Precision.HIGHEST
+        ),
+        gather_dtype=jnp.bfloat16 if args.amp else jnp.float32,
+    )
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(b, q, 2), jnp.float32)
+    masks = jnp.asarray(rng.randn(b, q, t, hs, ws), jnp.float32)
+    aux_l = jnp.asarray(rng.randn(l - 1, b, q, 2), jnp.float32)
+    aux_m = jnp.asarray(rng.randn(l - 1, b, q, t, hs, ws), jnp.float32)
+    tgt_masks = jnp.asarray(rng.rand(b, n, t, hf, wf) > 0.7)
+    tgt_valid = jnp.ones((b, n), bool)
+    key = jax.random.PRNGKey(0)
+
+    if args.fixed_assign:
+        fixed = jnp.tile(jnp.arange(n, dtype=jnp.int32)[None], (l * b, 1))
+        orig_assign = C.hungarian_assign
+        C.hungarian_assign = lambda cost, valid: jnp.tile(
+            jnp.arange(cost.shape[-1], dtype=jnp.int32)[None],
+            (cost.shape[0], 1),
+        )
+
+    def loss_fn(masks, aux_m, logits):
+        outputs = {
+            "pred_logits": logits,
+            "pred_masks": masks,
+            "aux_pred_logits": list(aux_l),
+            "aux_pred_masks": list(aux_m),
+        }
+        k1, k2 = jax.random.split(key)
+        if args.single:
+            losses = C.set_criterion(
+                k1, outputs, tgt_masks, tgt_valid, cfg
+            )
+        else:
+            la, lb = C.set_criterion_pair(
+                k1, outputs, tgt_masks, tgt_valid, cfg,
+                k2, outputs, tgt_masks, tgt_valid, cfg,
+            )
+            losses = {**la, **{f"kd_{k}": v for k, v in lb.items()}}
+        return sum(jax.tree_util.tree_leaves(losses))
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+
+    print("compiling...", flush=True)
+    t0 = time.perf_counter()
+    out = grad_fn(masks, aux_m, logits)
+    _ = float(out[0])
+    print(f"compile+first {time.perf_counter() - t0:.1f}s", flush=True)
+    tm = timed(lambda: grad_fn(masks, aux_m, logits), args.iters)
+    tag = []
+    if args.single: tag.append("single")
+    if args.amp: tag.append("amp")
+    if args.no_selection: tag.append("no-sel")
+    if args.fixed_assign: tag.append("fixed-assign")
+    print(
+        f"criterion fwd+bwd [{' '.join(tag) or 'full pair'}] "
+        f"(L={l}, N={n}, P={args.num_points}): {tm*1e3:.0f} ms",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--auction-impl", action="store_true",
                     help="time the xla vs pallas auction backends")
     ap.add_argument("--pool-gather", action="store_true")
+    ap.add_argument("--pool-gather-bwd", action="store_true")
     args = ap.parse_args()
 
     from s2d_tpu.losses.matcher import hungarian_assign
@@ -66,6 +67,32 @@ def main():
             print("  assignments identical:",
                   bool(_np.array_equal(outs["xla"], outs["pallas"])), flush=True)
 
+    if args.pool_gather_bwd:
+        # fwd vs fwd+bwd of the criterion's lane-packed pool sample at
+        # train shapes — isolates the matmul-backward einsum cost
+        from s2d_tpu.losses.criterion import _lane_packed_sample
+
+        for dtype_name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+            prec = (jax.lax.Precision.HIGHEST if dtype_name == "f32"
+                    else jax.lax.Precision.DEFAULT)
+            maps = jax.random.normal(jax.random.PRNGKey(0), (75, 92, 160))
+            pool = jax.random.uniform(jax.random.PRNGKey(1), (480000, 2))
+
+            fwd = jax.jit(lambda m, p: _lane_packed_sample(m, p, prec, dtype))
+            t_f = timed(lambda: fwd(maps, pool), args.iters)
+
+            def loss(m, p):
+                return _lane_packed_sample(m, p, prec, dtype).astype(
+                    jnp.float32
+                ).sum()
+
+            vg = jax.jit(jax.grad(loss))
+            t_fb = timed(lambda: vg(maps, pool), args.iters)
+            print(
+                f"pool_src {dtype_name}: fwd {t_f*1e3:.2f} ms, "
+                f"fwd+bwd {t_fb*1e3:.2f} ms", flush=True,
+            )
+
     if args.sweep_auction:
         import functools as _ft
 
@@ -86,24 +113,48 @@ def main():
         A.THETA = base_theta
 
     if args.pool_gather:
-        from s2d_tpu.ops.sampling import grid_sample_rows
+        from s2d_tpu.ops.sampling import (
+            grid_sample_packed, grid_sample_rows, pack_2x2,
+        )
 
         for hw_shape, r, s_pts, tag in (
             ((92, 160), 75, 480000, "pool_src stride4"),
             ((368, 640), 75, 480000, "pool_tgt fullres"),
             ((92, 160), 300, 480000, "pool_src N=100"),
+            ((92, 160), 300, 160000, "pred_pts N=100"),
         ):
             hh, ww = hw_shape
             k1, k2 = jax.random.split(jax.random.PRNGKey(r), 2)
             rows = jax.random.normal(k1, (1, hh * ww, r))
             grid = jax.random.uniform(k2, (1, s_pts, 2)) * 2.0 - 1.0
-            for impl in ("gather", "onehot"):
-                fn = jax.jit(
-                    lambda ro, g, impl=impl, hh=hh, ww=ww: grid_sample_rows(
-                        ro, g, hh, ww, impl=impl
+            for impl in ("gather", "onehot", "packed", "packed_pre"):
+                if impl == "packed":
+                    # pack included in the timed region (it is per-layer
+                    # work when the maps change every layer)
+                    fn = jax.jit(
+                        lambda ro, g, hh=hh, ww=ww: grid_sample_packed(
+                            pack_2x2(ro, hh, ww), g, hh, ww, onehot=False
+                        )
                     )
-                )
-                t = timed(lambda: fn(rows, grid), args.iters)
+                    t = timed(lambda: fn(rows, grid), args.iters)
+                elif impl == "packed_pre":
+                    packed = jax.jit(
+                        lambda ro, hh=hh, ww=ww: pack_2x2(ro, hh, ww)
+                    )(rows)
+                    packed.block_until_ready()
+                    fn = jax.jit(
+                        lambda pk, g, hh=hh, ww=ww: grid_sample_packed(
+                            pk, g, hh, ww, onehot=False
+                        )
+                    )
+                    t = timed(lambda: fn(packed, grid), args.iters)
+                else:
+                    fn = jax.jit(
+                        lambda ro, g, impl=impl, hh=hh, ww=ww: grid_sample_rows(
+                            ro, g, hh, ww, impl=impl
+                        )
+                    )
+                    t = timed(lambda: fn(rows, grid), args.iters)
                 print(f"{tag} {impl}: {t*1e3:.2f} ms", flush=True)
 
     from s2d_tpu.train.trainer import prepare_distillation_targets
