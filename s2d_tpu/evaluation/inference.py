@@ -52,7 +52,18 @@ def postprocess_video(
     output_size: Tuple[int, int],  # original video resolution
     use_nms: bool = True,
     nms_thresh: float = 0.75,
+    compute_dtype: jnp.dtype | None = None,
 ) -> Dict[str, jnp.ndarray]:
+    """compute_dtype: dtype of the mask resize chain (the largest arrays of
+    the whole eval step). None resolves to bf16 on TPU — the reference runs
+    its eval forward INCLUDING this interpolation under fp16 autocast
+    (`/root/reference/model_training/train_net_video.py:260`,
+    `demo_video/demo.py:162`), so bf16 here is the same noise class — and
+    f32 elsewhere (CPU tests stay exact)."""
+    if compute_dtype is None:
+        compute_dtype = (
+            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        )
     q = pred_logits.shape[0]
     scores = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)[:, :-1]
     flat_scores = scores.reshape(-1)  # (Q*K)
@@ -62,7 +73,7 @@ def postprocess_video(
     labels = top_idx % num_classes
     query_idx = top_idx // num_classes
 
-    sel = pred_masks[query_idx].astype(jnp.float32)  # (P, T, H/4, W/4)
+    sel = pred_masks[query_idx].astype(compute_dtype)  # (P, T, H/4, W/4)
     t = sel.shape[1]
     pad_h, pad_w = sel.shape[2] * 4, sel.shape[3] * 4
     up = interpolate_bilinear(sel, (pad_h, pad_w), precision="default")

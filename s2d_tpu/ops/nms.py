@@ -4,14 +4,20 @@ The reference's inference does greedy same-class NMS over binarized video
 masks with whole-track IoU (`/root/reference/model_training/mask2former_video/
 video_maskformer_model.py:320-359`) — a Python while-loop over GPU tensors.
 TPU-native formulation: the pairwise intersection is one (N, T*H*W) x
-(T*H*W, N) matmul on the MXU (accumulated frame-by-frame via scan to bound
-memory), and the sequential greedy suppression is a fori_loop over the N x N
-IoU matrix — same keep-set as the reference's loop, no host sync.
+(T*H*W, N) matmul on the MXU with the bool->bf16 cast fused into the dot
+(0/1 exactly representable, f32 accumulation — bit-exact for counts below
+2^24), and the sequential greedy suppression runs as a single pallas kernel
+(a fori_loop of 50 tiny vector ops costs ~6 ms in per-op dispatch on the
+XLA path but microseconds as one kernel). Same keep-set as the reference's
+loop, no host sync.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 
 def mask_iou_matrix(masks: jnp.ndarray) -> jnp.ndarray:
@@ -24,25 +30,72 @@ def mask_iou_matrix(masks: jnp.ndarray) -> jnp.ndarray:
       (N, N) float32 IoU (0 where union is empty).
     """
     n, t = masks.shape[0], masks.shape[1]
-    # bf16 inputs (0/1 exactly representable) with f32 accumulation: the
-    # fast MXU path, bit-exact for counts below 2^24
-    flat = masks.reshape(n, t, -1).astype(jnp.bfloat16)
-
-    def frame_step(carry, frame):  # frame: (N, H*W)
-        inter, area = carry
-        inter = inter + jnp.matmul(
-            frame, frame.T, preferred_element_type=jnp.float32
+    flat = masks.reshape(n, t, -1)
+    # one (N, T*H*W) dot when the bf16 operand stays modest, else a
+    # per-frame scan bounding live memory; either way the cast sits next
+    # to the dot so no full-size bf16 copy is materialized ahead of time
+    if flat.size * 2 <= int(2e9):
+        whole = flat.reshape(n, -1).astype(jnp.bfloat16)
+        inter = jnp.matmul(
+            whole, whole.T, preferred_element_type=jnp.float32
         )
-        area = area + frame.sum(axis=1, dtype=jnp.float32)
-        return (inter, area), None
+        area = jnp.sum(flat, axis=(1, 2), dtype=jnp.float32)
+    else:
+        def frame_step(carry, frame):  # frame: (N, H*W) bool
+            inter, area = carry
+            f16 = frame.astype(jnp.bfloat16)
+            inter = inter + jnp.matmul(
+                f16, f16.T, preferred_element_type=jnp.float32
+            )
+            area = area + frame.sum(axis=1, dtype=jnp.float32)
+            return (inter, area), None
 
-    (inter, area), _ = jax.lax.scan(
-        frame_step,
-        (jnp.zeros((n, n), jnp.float32), jnp.zeros((n,), jnp.float32)),
-        flat.transpose(1, 0, 2),
-    )
+        (inter, area), _ = jax.lax.scan(
+            frame_step,
+            (jnp.zeros((n, n), jnp.float32), jnp.zeros((n,), jnp.float32)),
+            flat.transpose(1, 0, 2),
+        )
     union = area[:, None] + area[None, :] - inter
     return jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 0.0)
+
+
+def _nms_kernel(iou_ref, labels_ref, out_ref, *, n: int, threshold: float):
+    labels = labels_ref[...]  # (1, P) int32
+    p = labels.shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    valid = (idx < n).astype(jnp.int32)
+
+    def body(i, keep):  # keep: (1, P) int32
+        # row i via a dynamic ref slice; scalars at i via masked
+        # lane-reductions (Mosaic has no value dynamic_slice)
+        row = iou_ref[pl.ds(i, 1), :]  # (1, P)
+        at_i = (idx == i).astype(jnp.int32)
+        label_i = (labels * at_i).sum()
+        kept_i = (keep * at_i).sum() > 0
+        suppress = (
+            (row > threshold) & (labels == label_i) & (idx > i) & kept_i
+        ).astype(jnp.int32)
+        return keep * (1 - suppress)
+
+    keep = jax.lax.fori_loop(0, n, body, valid)
+    out_ref[...] = keep
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "interpret"))
+def _greedy_nms_pallas(
+    iou: jnp.ndarray, labels: jnp.ndarray, threshold: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    n = iou.shape[0]
+    p = max(128, ((n + 127) // 128) * 128)
+    iou_p = jnp.pad(iou.astype(jnp.float32), ((0, p - n), (0, p - n)))
+    labels_p = jnp.pad(labels.astype(jnp.int32), (0, p - n))[None]
+    out = pl.pallas_call(
+        functools.partial(_nms_kernel, n=n, threshold=threshold),
+        out_shape=jax.ShapeDtypeStruct((1, p), jnp.int32),
+        interpret=interpret,
+    )(iou_p, labels_p)
+    return out[0, :n] > 0
 
 
 def greedy_mask_nms(
@@ -57,6 +110,9 @@ def greedy_mask_nms(
 
     Returns a (N,) bool keep mask.
     """
+    if jax.default_backend() == "tpu":
+        return _greedy_nms_pallas(iou, labels, float(threshold))
+
     n = iou.shape[0]
     idx = jnp.arange(n)
 
