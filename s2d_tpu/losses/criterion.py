@@ -393,6 +393,14 @@ def _criterion_costs_multi(
 
     bsz = target_sets[0][0].shape[0]
 
+    # column offsets of each target set in the packed cost einsum below
+    set_n = [tgt_pts.shape[1] for _, tgt_pts in per_set]
+    set_off = [sum(set_n[:i]) for i in range(len(set_n))]
+    rhs = jnp.concatenate(
+        [tgt_pts for _, tgt_pts in per_set], axis=1
+    )  # (B, sum(N_i), T*P)
+    rhs_sum = rhs.sum(-1)  # (B, sum(N_i)) for the dice denominators
+
     def cost_step(carry, inp):
         logits, masks = inp
         q, tm = masks.shape[1], masks.shape[2]
@@ -403,18 +411,45 @@ def _criterion_costs_multi(
         pred_pts = jax.lax.stop_gradient(
             _lane_packed_sample(rows, pool_p)
         ).reshape(bsz, q, tm * p)
-        # NOTE: cost einsums stay exact f32 — the reference matcher is an
-        # fp32 autocast-off island (see match_costs docstring)
-        costs = tuple(
-            match_costs(
-                logits, masks, tgt_pts, pred_pts, tgt_valid,
-                cfg.cost_class, cfg.cost_mask, cfg.cost_dice,
-            )
-            for (tgt_masks, tgt_valid, cfg), (_, tgt_pts) in zip(
-                target_sets, per_set
-            )
-        )
-        return carry, costs
+        # NOTE: cost contractions stay exact f32 — the reference matcher is
+        # an fp32 autocast-off island (see match_costs docstring). The six
+        # per-layer einsums of the naive form (2 sets x {ce-pos, ce-neg,
+        # dice-num}, each padding N=25 -> 128 output lanes on the MXU) are
+        # packed into ONE (2Q, P) x (P, sum N_i) contraction using
+        #   pos@tgt + neg@(1-tgt) = (-logits)@tgt + rowsum(softplus(logits))
+        # (softplus(-x) - softplus(x) = -x), which is ~3x fewer padded MXU
+        # passes and skips materializing pos/neg/(1-tgt). Association
+        # differs from the reference's two-einsum form only at f32
+        # rounding level (~1e-7 relative) — within the arbitrary-tie noise
+        # of the assignment itself.
+        pmp = pred_pts  # (B, Q, P_total) f32
+        neg_rowsum = jax.nn.softplus(pmp).sum(-1)  # (B, Q)
+        probs = jax.nn.sigmoid(pmp)
+        lhs = jnp.concatenate([-pmp, probs], axis=1)  # (B, 2Q, P)
+        packed = jnp.einsum(
+            "bqp,bnp->bqn", lhs, rhs,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (B, 2Q, sum N_i)
+        probs_sum = probs.sum(-1)  # (B, Q)
+        ptot = pmp.shape[-1]
+
+        costs = []
+        for (tgt_masks_i, tgt_valid_i, cfg_i), off, n_i in zip(
+            target_sets, set_off, set_n
+        ):
+            lin = packed[:, :q, off : off + n_i]
+            dice_num = packed[:, q:, off : off + n_i]
+            ce = (lin + neg_rowsum[:, :, None]) / ptot
+            denom = probs_sum[:, :, None] + rhs_sum[:, None, off : off + n_i]
+            dice = 1.0 - (2.0 * dice_num + 1.0) / (denom + 1.0)
+            cost_i = cfg_i.cost_mask * ce + cfg_i.cost_dice * dice
+            if cfg_i.cost_class:
+                prob0 = jax.nn.softmax(
+                    logits.astype(jnp.float32), axis=-1
+                )[..., 0]
+                cost_i = cost_i + cfg_i.cost_class * (-prob0[:, :, None])
+            costs.append(cost_i)
+        return carry, tuple(costs)
 
     _, cost_stacks = jax.lax.scan(
         cost_step, 0, (logits_stack, masks_stack)
@@ -517,7 +552,20 @@ def _criterion_losses(
     def loss_step(carry, inp):
         masks, assign = inp
         # gather matched prediction masks per target slot: (B, N, T, H', W')
-        src = jax.vmap(lambda m, a: m[a])(masks, assign)
+        # via a one-hot matmul rather than m[assign]: take's VJP is a
+        # dynamic scatter-add of (N, T, H', W') into (Q, T, H', W') per
+        # layer — measured ~200 ms of the criterion pair across the 20
+        # layer passes (the --fixed-assign ablation constant-folds it,
+        # which is how it hid). The one-hot contraction is exact (0/1
+        # rows, HIGHEST precision) and both its forward and transposed
+        # backward are small dense MXU ops.
+        onehot = jax.nn.one_hot(assign, masks.shape[1], dtype=masks.dtype)
+        src = jnp.einsum(
+            "bnq,bqf->bnf",
+            onehot,
+            masks.reshape(*masks.shape[:2], -1),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(assign.shape[0], assign.shape[1], *masks.shape[2:])
         loss_mask, loss_dice = loss_fn(
             src, state["pool"], state["pool_tgt"], state["bern_wts"],
             state["row_keep"], state["num_masks"],

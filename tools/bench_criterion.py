@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--fixed-assign", action="store_true")
     ap.add_argument("--single", action="store_true",
                     help="one criterion instead of the KD pair")
+    ap.add_argument("--assign-input", action="store_true",
+                    help="precompute REAL assignments once, then time the "
+                         "loss side with assigns as jit inputs (isolates "
+                         "the cost stack + auction from the loss scan)")
     args = ap.parse_args()
 
     from s2d_tpu.losses import criterion as C
@@ -101,7 +105,50 @@ def main():
             losses = {**la, **{f"kd_{k}": v for k, v in lb.items()}}
         return sum(jax.tree_util.tree_leaves(losses))
 
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+    if args.assign_input:
+        def compute_assigns(masks, aux_m):
+            outputs = {
+                "pred_logits": logits, "pred_masks": masks,
+                "aux_pred_logits": list(aux_l), "aux_pred_masks": list(aux_m),
+            }
+            k1, _ = jax.random.split(key)
+            sts = C._criterion_costs_multi(
+                k1, outputs,
+                [(tgt_masks, tgt_valid, cfg), (tgt_masks, tgt_valid, cfg)],
+            )
+            cost = jnp.concatenate([st["stacked_cost"] for st in sts], 0)
+            vald = jnp.concatenate([st["stacked_valid"] for st in sts], 0)
+            a = C.hungarian_assign(cost, vald)
+            rows = sts[0]["stacked_cost"].shape[0]
+            return (
+                a[:rows].reshape(sts[0]["n_layers"], sts[0]["b"], -1),
+                a[rows:].reshape(sts[1]["n_layers"], sts[1]["b"], -1),
+            )
+
+        assigns_ab = jax.jit(compute_assigns)(masks, aux_m)
+        assigns_ab = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)), assigns_ab
+        )
+
+        def loss_only(masks, aux_m, logits, assigns_ab):
+            outputs = {
+                "pred_logits": logits, "pred_masks": masks,
+                "aux_pred_logits": list(aux_l), "aux_pred_masks": list(aux_m),
+            }
+            k1, _ = jax.random.split(key)
+            sts = C._criterion_costs_multi(
+                k1, outputs,
+                [(tgt_masks, tgt_valid, cfg), (tgt_masks, tgt_valid, cfg)],
+            )
+            la = C._criterion_losses(sts[0], assigns_ab[0], cfg, True)
+            lb = C._criterion_losses(sts[1], assigns_ab[1], cfg, True)
+            losses = {**la, **{f"kd_{k}": v for k, v in lb.items()}}
+            return sum(jax.tree_util.tree_leaves(losses))
+
+        grad_fn0 = jax.jit(jax.value_and_grad(loss_only, argnums=(0, 1)))
+        grad_fn = lambda m, am, lg: grad_fn0(m, am, lg, assigns_ab)
+    else:
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
 
     print("compiling...", flush=True)
     t0 = time.perf_counter()
@@ -113,6 +160,7 @@ def main():
     if args.single: tag.append("single")
     if args.amp: tag.append("amp")
     if args.no_selection: tag.append("no-sel")
+    if args.assign_input: tag.append("assign-input")
     if args.fixed_assign: tag.append("fixed-assign")
     print(
         f"criterion fwd+bwd [{' '.join(tag) or 'full pair'}] "
