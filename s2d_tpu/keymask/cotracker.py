@@ -227,8 +227,21 @@ class CoTrackerTracker:
     interp_w: int = 512
     point_bucket: int = 128
 
+    def __post_init__(self):
+        from .tracker import DeviceVideoCache
+
+        # upload the video once per video, as uint8 where possible, and
+        # normalize device-side: the remote transport's H2D bandwidth, not
+        # the network, dominated per-call latency (see DeviceVideoCache)
+        def to_device(v):
+            if v.dtype == np.uint8:
+                return _normalize_u8(jnp.asarray(v))
+            return jnp.asarray(np.asarray(v, np.float32) / 255.0)
+
+        self._video_cache = DeviceVideoCache(to_device)
+
     def track(self, video, queries, query_frame=0):
-        video = np.asarray(video, np.float32)
+        video = np.asarray(video)
         t, h, w = video.shape[:3]
         p = len(queries)
         pad = -p % self.point_bucket
@@ -241,7 +254,7 @@ class CoTrackerTracker:
         )
         tracks, vis = _apply_net(
             self.net, self.params,
-            jnp.asarray(video / 255.0),
+            self._video_cache.get(video),
             jnp.asarray(q_scaled),
             jnp.asarray(query_frame, jnp.int32),
             self.interp_h, self.interp_w,
@@ -250,6 +263,11 @@ class CoTrackerTracker:
             [w / self.interp_w, h / self.interp_h], np.float32
         )
         return tracks, np.asarray(vis)[:, :p]
+
+
+@jax.jit
+def _normalize_u8(video_u8):
+    return video_u8.astype(jnp.float32) / 255.0
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5, 6))

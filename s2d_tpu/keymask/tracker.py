@@ -35,6 +35,70 @@ class PointTracker(Protocol):
         ...
 
 
+class DeviceVideoCache:
+    """One-entry cache of the device-resident preprocessed video.
+
+    The discovery pipeline calls track() once per (seed frame, mask id) on
+    the SAME video (visibility.py double loop — the reference's
+    cotracker_occlusions.py loop has the same shape). Profiling the 544
+    ms/call correlation track (T=24, 384x512, P=256) showed the tracker
+    compute is 13 ms; the rest was re-converting grey on the host (152 ms)
+    and re-uploading ~18 MB over the remote transport (~600 ms) EVERY
+    call. Caching the converted device array amortizes that to once per
+    video.
+
+    Keyed by (buffer address, shape, dtype, strided checksum): the
+    checksum catches a recycled buffer address or in-place edits of the
+    sampled pixels; in-place mutation that leaves every 64th pixel of
+    every frame untouched is outside the contract."""
+
+    def __init__(self, convert):
+        self._convert = convert  # np.ndarray -> device array
+        self._key = None
+        self._value = None
+
+    @staticmethod
+    def _fingerprint(video: np.ndarray):
+        sample = video[:, ::64, ::64]
+        return (
+            video.__array_interface__["data"][0],
+            video.shape,
+            str(video.dtype),
+            float(sample.sum(dtype=np.float64)),
+        )
+
+    def get(self, video: np.ndarray):
+        key = self._fingerprint(video)
+        if key != self._key:
+            self._value = self._convert(video)
+            self._key = key
+        return self._value
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _grey_on_device(video_u8):
+    """(T, H, W, 3) uint8 -> (T, H, W) f32 luma, computed device-side so
+    the upload is 1 byte/pixel instead of 4 (the transport is the cost)."""
+    luma = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+    # elementwise multiply-sum, not @: TPU default matmul precision is
+    # bf16-class, which would make device grey differ from the host path
+    return (video_u8.astype(jnp.float32) * luma).sum(-1)
+
+
+def _grey_video_to_device(video: np.ndarray):
+    video = np.asarray(video)
+    if video.ndim == 4 and video.shape[-1] == 3:
+        if video.dtype == np.uint8:
+            return _grey_on_device(jnp.asarray(video))
+        grey = video.astype(np.float32) @ np.asarray(
+            [0.299, 0.587, 0.114], np.float32
+        )
+        return jnp.asarray(grey)
+    return jnp.asarray(
+        np.asarray(video, np.float32).reshape(video.shape[:3])
+    )
+
+
 @dataclasses.dataclass
 class CorrelationTracker:
     """Pyramidal template-matching tracker.
@@ -55,12 +119,11 @@ class CorrelationTracker:
 
     point_bucket: int = 256
 
+    def __post_init__(self):
+        self._video_cache = DeviceVideoCache(_grey_video_to_device)
+
     def track(self, video, queries, query_frame=0):
-        video = np.asarray(video, np.float32)
-        if video.ndim == 4 and video.shape[-1] == 3:
-            grey = video @ np.asarray([0.299, 0.587, 0.114], np.float32)
-        else:
-            grey = video.reshape(video.shape[:3])
+        grey = self._video_cache.get(np.asarray(video))
         # bucket the point count so jit re-traces only per (T, H, W, bucket)
         # — the visibility extractor calls with a different point count per
         # seed mask, and server-side compiles are minutes-long
@@ -72,7 +135,7 @@ class CorrelationTracker:
                 [queries, np.tile(queries[:1], (pad, 1))], axis=0
             )
         tracks, vis = _track_bidirectional(
-            jnp.asarray(grey),
+            grey,
             jnp.asarray(queries),
             jnp.asarray(query_frame, jnp.int32),
             self.patch,

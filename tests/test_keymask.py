@@ -169,3 +169,59 @@ def test_candidate_mask_export(tmp_path):
     import cv2
     img = cv2.imread(written[0], cv2.IMREAD_GRAYSCALE)
     assert (img > 0).sum() == masks[0].sum()
+
+
+def test_device_video_cache_keys_and_grey_parity():
+    """track() caches the device grey video per source array; a new or
+    edited video must miss the cache, and the uint8 device-grey path must
+    match the float host path exactly (f32)."""
+    from s2d_tpu.keymask.tracker import (
+        DeviceVideoCache,
+        _grey_video_to_device,
+    )
+
+    video, _ = _make_video(t=3)
+    calls = []
+
+    def convert(v):
+        calls.append(1)
+        return _grey_video_to_device(v)
+
+    cache = DeviceVideoCache(convert)
+    g1 = cache.get(video)
+    g2 = cache.get(video)
+    assert len(calls) == 1 and g1 is g2
+
+    other, _ = _make_video(t=3, speed=5)
+    cache.get(other)
+    assert len(calls) == 2
+
+    # in-place edit of a sampled pixel invalidates the entry
+    video[0, 0, 0] ^= 255
+    cache.get(video)
+    assert len(calls) == 3
+
+    # uint8 device path == float host path
+    grey_dev = np.asarray(_grey_video_to_device(video))
+    grey_host = np.asarray(
+        video.astype(np.float32)
+        @ np.asarray([0.299, 0.587, 0.114], np.float32)
+    )
+    np.testing.assert_allclose(grey_dev, grey_host, rtol=0, atol=1e-4)
+
+
+def test_tracker_cache_reuse_same_results():
+    """Second track() call on the same video (cache hit) returns identical
+    results, and a different video does not leak the cached frames."""
+    video, masks = _make_video()
+    tr = CorrelationTracker(point_bucket=8)
+    pts = grid_points_in_mask(masks[0], 6)
+    t1, v1 = tr.track(video, pts, 0)
+    t2, v2 = tr.track(video, pts, 0)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(v1, v2)
+
+    static = np.repeat(video[:1], len(video), axis=0)
+    t3, _ = tr.track(static, pts, 0)
+    # on a static video tracks stay near the seed; on the moving one they move
+    assert np.abs(t3[-1] - pts).max() < np.abs(t1[-1] - pts).max()
