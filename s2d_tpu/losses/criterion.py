@@ -74,6 +74,16 @@ class CriterionConfig:
     # stays f32 because the reference matcher is an fp32 autocast-off
     # island (see match_costs). Resolved from SOLVER.AMP like the above.
     gather_dtype: jnp.dtype = jnp.float32
+    # "iid": the reference's iid-uniform point pools (criterion.py:75-136)
+    #   — every per-layer (R, S) sampling is a gather, its backward a
+    #   scatter, both TPU weak spots even after the matmul rewrites.
+    # "lattice": random-phase jittered-lattice pools (ops/lattice.py) —
+    #   sampling becomes dense slice blends with dense backward; the
+    #   losses/costs stay unbiased estimates of the same integrals
+    #   (random-phase stratified MC), with ONE phase per step instead of
+    #   iid point positions. Realized point counts are the nearest valid
+    #   lattice (e.g. 117,760 for a nominal 160,000 at s2d shapes).
+    point_sampling: str = "iid"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -163,7 +173,8 @@ def _chunked_topk_indices(values: jnp.ndarray, k: int, chunk: int = 4096) -> jnp
 
 
 def _uncertainty_threshold(
-    values: jnp.ndarray, k: int, subsample: int = 32768, iters: int = 20
+    values: jnp.ndarray, k: int, subsample: int = 32768, iters: int = 20,
+    sub: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Sort-free k-th-largest estimate per row: (R, S) -> (R, 1).
 
@@ -178,13 +189,17 @@ def _uncertainty_threshold(
     either way). Pools smaller than the subsample are bisected WHOLE
     (exact counting, still sort-free); the exact top_k fallback only
     covers small pools (the reference-default 12544-point config has
-    S=37632 and must not regress to a full-row sort)."""
+    S=37632 and must not regress to a full-row sort).
+
+    `sub`: optionally a caller-provided representative subsample (R, S')
+    — lattice pools are NOT iid, so their prefix is a spatial band; the
+    caller passes a strided subsample instead."""
     s = values.shape[-1]
     if s < 8192:
         return jax.lax.top_k(values, k)[0][..., -1:]
-    subsample = min(subsample, s)
-    sub = values[..., :subsample]
-    k_sub = k * (subsample / s)
+    if sub is None:
+        sub = values[..., : min(subsample, s)]
+    k_sub = k * (sub.shape[-1] / s)
     lo = sub.min(axis=-1, keepdims=True)
     hi = sub.max(axis=-1, keepdims=True)
 
@@ -201,12 +216,13 @@ def _uncertainty_threshold(
 
 def _loss_masks(
     src_masks: jnp.ndarray,  # (B, N, T, H', W') matched prediction logits
-    pool: jnp.ndarray,  # (S, 2) shared point pool in [0, 1]
+    pool: jnp.ndarray,  # (S, 2) iid point pool, or (2,) lattice phase
     pool_tgt: jnp.ndarray,  # (R, S) target values at the pool points
     bern_wts: jnp.ndarray,  # (R, S) 0/1 shared random-point weights
     row_keep: jnp.ndarray,  # (B, N, T) 0/1 weights (valid & droploss)
     num_masks: jnp.ndarray,  # scalar
     cfg: CriterionConfig,
+    lattice: Tuple[int, int] = None,  # (Ly, Lx) when pool is a phase
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """PointRend-style point loss over a SHARED pool. The pool, the target
     values at it, and the Bernoulli random-point weights are sampled ONCE
@@ -221,15 +237,24 @@ def _loss_masks(
 
     r = rows_src.shape[0]
     p = cfg.num_points
-    num_sampled = pool.shape[0]
     num_uncertain = int(cfg.importance_sample_ratio * p)
 
-    pool_src = checkpoint_name(
-        _lane_packed_sample(
-            rows_src, pool, cfg.bwd_einsum_precision, cfg.gather_dtype
-        ),
-        "pool_src",
-    ).astype(jnp.float32)  # (R, S), grads flow; loss math stays f32
+    if lattice is not None:
+        from ..ops.lattice import lattice_sample
+
+        pool_src = checkpoint_name(
+            lattice_sample(
+                rows_src.astype(cfg.gather_dtype), *lattice, pool
+            ).reshape(r, -1),
+            "pool_src",
+        ).astype(jnp.float32)  # (R, S) — dense slice blends, dense backward
+    else:
+        pool_src = checkpoint_name(
+            _lane_packed_sample(
+                rows_src, pool, cfg.bwd_einsum_precision, cfg.gather_dtype
+            ),
+            "pool_src",
+        ).astype(jnp.float32)  # (R, S), grads flow; loss math stays f32
 
     # GATHER-FREE point selection: lane-axis take_along_axis on (R, S) was
     # measured as the wall of the full-scale train step (~38 of 42 s at
@@ -248,7 +273,16 @@ def _loss_masks(
     uncertainty = -jnp.abs(jax.lax.stop_gradient(pool_src))
     wts = bern_wts.astype(jnp.float32)
     if num_uncertain > 0:
-        thr = _uncertainty_threshold(uncertainty, num_uncertain)  # (R, 1)
+        sub = None
+        s = uncertainty.shape[-1]
+        if lattice is not None and s >= 8192:
+            # a lattice pool's PREFIX is a spatial band, not a
+            # representative subsample — stride across the row-major
+            # flattening instead (hits every image row, every `stride`-th
+            # column; the uncertainty field is what the quantile is of)
+            stride = max(1, s // 32768)
+            sub = uncertainty[..., ::stride]
+        thr = _uncertainty_threshold(uncertainty, num_uncertain, sub=sub)
         wts = wts + (uncertainty >= thr).astype(wts.dtype)
     count = jnp.maximum(wts.sum(axis=1), 1.0)
 
@@ -375,20 +409,50 @@ def _criterion_costs_multi(
     # benefit.
     rng, k_pool, k_bern = jax.random.split(rng, 3)
     num_sampled = int(cfg0.num_points * cfg0.oversample_ratio)
-    pool = jax.random.uniform(k_pool, (num_sampled, 2))
     p = cfg0.num_points
-    pool_p = pool[:p]
+
+    lattice_mode = cfg0.point_sampling == "lattice"
+    if lattice_mode:
+        from ..ops.lattice import choose_lattice, lattice_sample
+
+        h_p, w_p = outputs["pred_masks"].shape[-2:]
+        tgt_hw = {tm.shape[-2:] for tm, _, _ in target_sets}
+        assert len(tgt_hw) == 1, (
+            "lattice point sampling needs all target sets at one resolution"
+        )
+        (h_t, w_t) = next(iter(tgt_hw))
+        lat_loss = choose_lattice(num_sampled, (h_p, h_t), (w_p, w_t))
+        lat_match = choose_lattice(p, (h_p, h_t), (w_p, w_t))
+        num_sampled = lat_loss[0] * lat_loss[1]
+        p = lat_match[0] * lat_match[1]
+        # one random phase per pool per step; the pools stay unbiased MC
+        # estimates of the same integrals (see ops/lattice.py)
+        phases = jax.random.uniform(k_pool, (2, 2))
+        phase_loss, phase_match = phases[0], phases[1]
+        pool = phase_loss  # loss-side "pool" handle passed to _loss_masks
+    else:
+        pool = jax.random.uniform(k_pool, (num_sampled, 2))
+        pool_p = pool[:p]
 
     per_set = []
     for tgt_masks, tgt_valid, cfg in target_sets:
         bsz, nsl, t = tgt_masks.shape[:3]
         rows_tgt = tgt_masks.reshape(bsz * nsl * t, *tgt_masks.shape[3:])
-        pool_tgt = jax.lax.stop_gradient(
-            _lane_packed_sample(rows_tgt.astype(jnp.float32), pool)
-        )
-        tgt_pts = pool_tgt.reshape(bsz, nsl, t, num_sampled)[..., :p].reshape(
-            bsz, nsl, t * p
-        )
+        if lattice_mode:
+            rows_f = rows_tgt.astype(jnp.float32)
+            pool_tgt = jax.lax.stop_gradient(
+                lattice_sample(rows_f, *lat_loss, phase_loss)
+            ).reshape(bsz * nsl * t, num_sampled)
+            tgt_pts = jax.lax.stop_gradient(
+                lattice_sample(rows_f, *lat_match, phase_match)
+            ).reshape(bsz, nsl, t * p)
+        else:
+            pool_tgt = jax.lax.stop_gradient(
+                _lane_packed_sample(rows_tgt.astype(jnp.float32), pool)
+            )
+            tgt_pts = pool_tgt.reshape(bsz, nsl, t, num_sampled)[
+                ..., :p
+            ].reshape(bsz, nsl, t * p)
         per_set.append((pool_tgt, tgt_pts))
 
     bsz = target_sets[0][0].shape[0]
@@ -407,10 +471,15 @@ def _criterion_costs_multi(
         rows = masks.astype(jnp.float32).reshape(
             bsz * q * tm, *masks.shape[3:]
         )
-        # ONE prediction-value gather per layer, shared by all target sets
-        pred_pts = jax.lax.stop_gradient(
-            _lane_packed_sample(rows, pool_p)
-        ).reshape(bsz, q, tm * p)
+        # ONE prediction-value sampling per layer, shared by all target sets
+        if lattice_mode:
+            pred_pts = jax.lax.stop_gradient(
+                lattice_sample(rows, *lat_match, phase_match)
+            ).reshape(bsz, q, tm * p)
+        else:
+            pred_pts = jax.lax.stop_gradient(
+                _lane_packed_sample(rows, pool_p)
+            ).reshape(bsz, q, tm * p)
         # NOTE: cost contractions stay exact f32 — the reference matcher is
         # an fp32 autocast-off island (see match_costs docstring). The six
         # per-layer einsums of the naive form (2 sets x {ce-pos, ce-neg,
@@ -482,7 +551,12 @@ def _criterion_costs_multi(
                 tgt_valid[:, :, None], tgt_masks.shape[:3]
             )
 
-        num_random = p - int(cfg.importance_sample_ratio * p)
+        # nominal budget, not the realized lattice count: with a realized
+        # matcher count slightly under nominal, p - int(ratio*p) would go
+        # negative and silently drop the random-point term
+        num_random = cfg.num_points - int(
+            cfg.importance_sample_ratio * cfg.num_points
+        )
         rows = bsz * nsl * t
         if num_random > 0:
             key = (rows, num_random)
@@ -504,6 +578,7 @@ def _criterion_costs_multi(
             "masks_stack": masks_stack,
             "tgt_valid": tgt_valid,
             "pool": pool,
+            "lattice": lat_loss if lattice_mode else None,
             "pool_tgt": pool_tgt,
             "bern_wts": bern_wts,
             "row_keep": row_keep,
@@ -541,13 +616,14 @@ def _criterion_losses(
     s_pool = state["pool_tgt"].shape[1]
     itemsize = jnp.dtype(cfg.gather_dtype).itemsize
     save_bytes = r_rows * s_pool * itemsize * len(state["layer_aux_ids"])
+    loss_kw = dict(cfg=cfg, lattice=state["lattice"])
     if save_bytes <= int(2e9):
         policy = jax.checkpoint_policies.save_only_these_names("pool_src")
         loss_fn = jax.checkpoint(
-            functools.partial(_loss_masks, cfg=cfg), policy=policy
+            functools.partial(_loss_masks, **loss_kw), policy=policy
         )
     else:
-        loss_fn = jax.checkpoint(functools.partial(_loss_masks, cfg=cfg))
+        loss_fn = jax.checkpoint(functools.partial(_loss_masks, **loss_kw))
 
     def loss_step(carry, inp):
         masks, assign = inp

@@ -138,6 +138,7 @@ def make_train_step(
         gather_dtype=jnp.bfloat16
         if cfg.solver.amp.enabled
         else jnp.float32,
+        point_sampling=mf.point_sampling,
     )
     kd_crit_cfg = dataclasses.replace(
         crit_cfg, masks_only=mf.distillation_loss_strategy == "masks-only"

@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--fixed-assign", action="store_true")
     ap.add_argument("--single", action="store_true",
                     help="one criterion instead of the KD pair")
+    ap.add_argument("--point-sampling", choices=["iid", "lattice"],
+                    default="iid")
     ap.add_argument("--assign-input", action="store_true",
                     help="precompute REAL assignments once, then time the "
                          "loss side with assigns as jit inputs (isolates "
@@ -66,6 +68,7 @@ def main():
             else jax.lax.Precision.HIGHEST
         ),
         gather_dtype=jnp.bfloat16 if args.amp else jnp.float32,
+        point_sampling=args.point_sampling,
     )
 
     rng = np.random.RandomState(0)

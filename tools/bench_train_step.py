@@ -32,6 +32,9 @@ def main():
                     help="pallas MSDA for the no-grad teacher forward")
     ap.add_argument("--student-pallas", action="store_true",
                     help="pallas MSDA (custom-VJP bwd) for the student too")
+    ap.add_argument("--point-sampling", choices=["iid", "lattice"],
+                    default=None, help="criterion point-pool construction "
+                    "(lattice = gather-free dense sampling, ops/lattice.py)")
     ap.add_argument("--importance-ratio", type=float, default=None,
                     help="override IMPORTANCE_SAMPLE_RATIO (0 ablates the "
                     "per-chunk kth-value sorts)")
@@ -69,6 +72,10 @@ def main():
     )
     if args.num_points is not None:
         object.__setattr__(cfg.model.mask_former, "train_num_points", args.num_points)
+    if args.point_sampling is not None:
+        object.__setattr__(
+            cfg.model.mask_former, "point_sampling", args.point_sampling
+        )
     if args.importance_ratio is not None:
         object.__setattr__(
             cfg.model.mask_former, "importance_sample_ratio",
