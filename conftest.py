@@ -14,8 +14,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Persistent compilation cache: this box has one CPU core, so XLA compiles
-# dominate test wall-time; the cache makes re-runs cheap.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# dominate test wall-time; the cache makes re-runs cheap. CPU-SPECIFIC dir:
+# XLA:CPU caches AOT machine code that is not keyed on the host's CPU
+# feature set, and this fleet migrates between hosts with different avx512
+# subsets — entries from the other host intermittently SIGSEGV on load
+# (the cpu_aot_loader warning). The TPU cache (serialized, host-independent)
+# keeps /tmp/jax_cache.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
@@ -25,6 +30,6 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,19 +1,22 @@
-"""Batched auction assignment as ONE pallas TPU kernel.
+"""Batched asymmetric auction assignment as ONE pallas TPU kernel.
 
 The XLA auction (`ops/auction.py`) is a vmapped `lax.while_loop` whose
 bidding rounds each cost ~165 us of per-op device sequencing — ~0.46 s of
-the full-scale KD train step for ~3000 serial rounds over 40 tiny
-(~100 x 100) problems that together occupy ~2.6 MB. This kernel runs the
-ENTIRE epsilon-scaled auction inside a single pallas program: the whole
-batch lives in VMEM, every bidding round is a handful of VPU passes over
-(B, P, P) tiles, and the round loop is a real machine loop with no per-op
-dispatch.
+the full-scale KD train step for thousands of serial rounds over 40 tiny
+problems that together occupy ~1 MB. This kernel runs the ENTIRE
+epsilon-scaled auction inside a single pallas program: the whole batch
+lives in VMEM, every bidding round is a handful of VPU passes over
+(B, N_pad, P) tiles, and the round loop is a real machine loop with no
+per-op dispatch.
 
-Semantics are BIT-IDENTICAL to `ops.auction._auction_square` vmapped over
-the batch (pinned by tests/test_auction.py): same epsilon schedule, same
-partial reset between phases, same lowest-index tie-breaking, same
-max_iters guard. Two formulation changes make it lane-friendly without
-changing results:
+The problems are ASYMMETRIC (N target persons bidding over Q >= N query
+objects — see ops/auction.py for why the square-with-dummies formulation
+was abandoned: dummy churn dominated the round count). Semantics are
+BIT-IDENTICAL to `ops.auction._auction_asym` vmapped over the batch
+(pinned by tests/test_auction.py): same epsilon schedule, same partial
+reset between phases, same forward-bid/reverse-seduction rounds, same
+lowest-index tie-breaking, same max_iters guard. Two formulation changes make it
+lane-friendly without changing results:
 
   * gather-free bidding: the original bids `prices[i1] + (w1 - w2) + eps`
     and scatter-maxes into `best_bid`. Since every bidder on object o has
@@ -39,52 +42,55 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1.0e18  # "no bid" sentinel (matches ops.auction._NEG)
-_NEG_BENEFIT = -1.0e9  # benefit of lane-padding objects: never preferred
+_NEG_BENEFIT = -1.0e9  # benefit of padding rows/columns: never preferred
 
 
-def _batched_auction_kernel(
-    benefit_ref, out_ref, *, q: int, eps_list: tuple, max_iters: int
+def _batched_auction_asym_kernel(
+    benefit_ref, out_ref, *, n: int, q: int, eps_list: tuple, max_iters: int
 ):
-    benefit = benefit_ref[...]  # (B, P, P) f32, person-major
-    b, p, _ = benefit.shape
+    benefit = benefit_ref[...]  # (B, NP, P) f32, person-major
+    b, np_, p = benefit.shape
 
-    person_ids2 = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)  # (B, P)
-    person_valid = person_ids2 < q
-    # (B, P_person, P_obj) iotas for dense masks; the transposed views are
+    person_ids2 = jax.lax.broadcasted_iota(jnp.int32, (b, np_), 1)  # (B, NP)
+    person_valid = person_ids2 < n
+    obj_ids2 = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)  # (B, P)
+    obj_valid = obj_ids2 < q
+    # (B, N_per, P_obj) iotas for dense masks; the transposed views are
     # separate iotas (free) rather than data transposes
-    pid3 = jax.lax.broadcasted_iota(jnp.int32, (b, p, p), 1)
-    oid3 = jax.lax.broadcasted_iota(jnp.int32, (b, p, p), 2)
-    pid3_t = jax.lax.broadcasted_iota(jnp.int32, (b, p, p), 2)  # (B, obj, per)
-    oid3_t = jax.lax.broadcasted_iota(jnp.int32, (b, p, p), 1)  # (B, obj, per)
+    pid3 = jax.lax.broadcasted_iota(jnp.int32, (b, np_, p), 1)
+    oid3 = jax.lax.broadcasted_iota(jnp.int32, (b, np_, p), 2)
+    pid3_t = jax.lax.broadcasted_iota(jnp.int32, (b, p, np_), 2)  # (B, obj, per)
+    oid3_t = jax.lax.broadcasted_iota(jnp.int32, (b, p, np_), 1)  # (B, obj, per)
 
     def assigned_persons(owner):
         # owner (B, P_obj) person-id per object (-1 = unowned)
         # person assigned iff some object names it (int32 reductions:
         # Mosaic has no bool reduce)
         match = owner[:, :, None] == pid3_t
-        return match.astype(jnp.int32).max(axis=1) > 0
+        return match.astype(jnp.int32).max(axis=1) > 0  # (B, NP)
 
     def person_to_obj(owner):
-        # (B, P) object per person, or P when unassigned
+        # (B, NP) object per person, or P when unassigned
         match = owner[:, :, None] == pid3_t  # (B, obj, per)
         return jnp.where(match, oid3_t, jnp.int32(p)).min(axis=1)
 
     def run_phase(carry, eps):
         prices, owner = carry
 
-        # --- partial reset: keep pairs satisfying eps-CS at the new eps
+        # --- partial reset: keep pairs satisfying eps-CS at this eps.
+        # Prices are untouched (carrying them preserves the scaled-in
+        # level), so drops don't interact — one pass suffices.
         net = benefit - prices[:, None, :]  # (B, per, obj)
         best = net.max(axis=-1)  # (B, per)
         owned = owner[:, :, None] == pid3_t  # (B, obj, per)
-        own_net = jnp.where(
+        own_net0 = jnp.where(
             owned, net.transpose(0, 2, 1), _NEG
         ).max(axis=1)  # (B, per)
-        has_obj = owned.astype(jnp.int32).max(axis=1) > 0
+        has_obj0 = owned.astype(jnp.int32).max(axis=1) > 0
         # int32 mask: Mosaic cannot insert a minor dim on i1 vectors
         keep = (
-            has_obj & (own_net >= best - eps) & person_valid
+            has_obj0 & (own_net0 >= best - eps) & person_valid
         ).astype(jnp.int32)
-        # drop objects whose owner re-bids
         keep_at_owner = (
             (owner[:, :, None] == pid3_t).astype(jnp.int32)
             * keep[:, None, :]
@@ -123,7 +129,7 @@ def _batched_auction_kernel(
             best_bid = bid3.max(axis=1)  # (B, obj)
             contested = best_bid > _NEG
             winner = jnp.where(
-                bids & (bid3 >= best_bid[:, None, :]), pid3, jnp.int32(p)
+                bids & (bid3 >= best_bid[:, None, :]), pid3, jnp.int32(np_)
             ).min(axis=1)
             owner = jnp.where(contested, winner, owner)
             prices = jnp.where(contested, best_bid, prices)
@@ -134,6 +140,88 @@ def _batched_auction_kernel(
 
         prices, owner, _, _ = jax.lax.while_loop(
             cond, body, (prices, owner0, assigned0, jnp.int32(0))
+        )
+
+        # ---- REVERSE: unassigned objects with price > 0 seduce their
+        # best person at the competitive price or drop to the floor
+        # (ops.auction rev_round, dense formulation)
+        def rev_cond(state):
+            prices, owner, it = state
+            pending = (
+                ((owner < 0) & (prices > 0.0) & obj_valid)
+                .astype(jnp.int32).max() > 0
+            )
+            return pending & (it < max_iters)
+
+        def rev_body(state):
+            prices, owner, it = state
+            net = benefit - prices[:, None, :]  # (B, per, obj)
+            owned = owner[:, :, None] == pid3_t  # (B, obj, per)
+            own_net = jnp.where(
+                owned, net.transpose(0, 2, 1), _NEG
+            ).max(axis=1)  # (B, per)
+            has_obj = owned.astype(jnp.int32).max(axis=1) > 0
+            best_net = net.max(axis=-1)
+            pi = jnp.where(has_obj, own_net, best_net - eps)  # (B, per)
+
+            # padding persons' pi is NEG_BENEFIT-relative, so their raw r
+            # is ~min_price + eps (NOT very negative) — mask them out or
+            # they win seductions (the XLA path has no padding persons).
+            # pid3 < n rather than person_valid[..., None]: Mosaic cannot
+            # insert a minor dim on i1 vectors.
+            r = jnp.where(
+                pid3 < n, benefit - pi[:, :, None], _NEG
+            )  # (B, per, obj)
+            bidder = (
+                (owner < 0) & (prices > 0.0) & obj_valid
+            ).astype(jnp.int32)  # (B, obj)
+            beta = r.max(axis=1)  # (B, obj)
+            i_star = jnp.where(
+                r >= beta[:, None, :], pid3, jnp.int32(np_)
+            ).min(axis=1)  # lowest-index argmax person
+            gamma = jnp.where(
+                pid3 == i_star[:, None, :], _NEG, r
+            ).max(axis=1)  # (B, obj)
+
+            give_up = (bidder > 0) & (beta <= eps)  # lambda = 0 floor
+            prices = jnp.where(give_up, 0.0, prices)
+            seducing = bidder * (1 - give_up.astype(jnp.int32))  # (B, obj)
+
+            # one winning object per seduced person: highest beta, then
+            # lowest object index
+            cand = (
+                seducing[:, None, :]
+                * (pid3 == i_star[:, None, :]).astype(jnp.int32)
+            ) > 0  # (B, per, obj)
+            win_beta = jnp.where(cand, beta[:, None, :], _NEG).max(axis=-1)
+            seduced = (win_beta > _NEG).astype(jnp.int32)  # (B, per)
+            j_win = jnp.where(
+                cand & (beta[:, None, :] >= win_beta[..., None]),
+                oid3, jnp.int32(p),
+            ).min(axis=-1)  # (B, per)
+
+            # seduced persons abandon their old object...
+            old_of_seduced = (
+                (owner[:, :, None] == pid3_t).astype(jnp.int32)
+                * seduced[:, None, :]
+            ).max(axis=2) > 0  # (B, obj)
+            owner = jnp.where(old_of_seduced, jnp.int32(-1), owner)
+            # ...and take j_win at the competitive price max(0, gamma-eps)
+            win_mask = (
+                cand.astype(jnp.int32)
+                * seduced[..., None]
+                * (oid3 == j_win[..., None]).astype(jnp.int32)
+            )  # (B, per, obj)
+            won = win_mask.max(axis=1) > 0  # (B, obj)
+            win_person = jnp.where(
+                win_mask > 0, pid3, jnp.int32(np_)
+            ).min(axis=1)
+            owner = jnp.where(won, win_person, owner)
+            prices = jnp.where(won, jnp.maximum(0.0, gamma - eps), prices)
+            return prices, owner, it + 1
+
+        prices, owner, _ = jax.lax.while_loop(
+            rev_cond, rev_body, (prices, owner, jnp.int32(0))
         )
         return prices, owner
 
@@ -147,44 +235,47 @@ def _batched_auction_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("q", "eps_list", "max_iters", "interpret")
+    jax.jit, static_argnames=("n", "q", "eps_list", "max_iters", "interpret")
 )
-def auction_square_pallas(
+def auction_asym_pallas(
     benefit: jnp.ndarray,
+    n: int,
     q: int,
     eps_list: tuple,
     max_iters: int = 3000,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Solve a batch of SQUARE quantized assignment problems on-chip.
+    """Solve a batch of asymmetric quantized assignment problems on-chip.
 
     Args:
-      benefit: (B, q, q) f32 benefit matrices, person-major (rows bid).
-      q: problem size (static).
-      eps_list: static epsilon schedule (from ops.auction).
+      benefit: (B, n, q) f32 benefit matrices, person-major (rows bid),
+        n persons <= q objects.
+      n, q: problem sizes (static).
+      eps_list: static epsilon schedule (from ops.auction, keyed on n).
     Returns:
-      (B, q) int32 object per person (-1 only if max_iters was hit).
+      (B, n) int32 object per person (-1 only if max_iters was hit).
     """
     bsz = benefit.shape[0]
+    assert benefit.shape[1:] == (n, q), benefit.shape
+    np_ = max(8, ((n + 7) // 8) * 8)
     p = max(128, ((q + 127) // 128) * 128)
-    pad = p - q
-    if pad:
+    if (np_ - n) or (p - q):
         benefit = jnp.pad(
-            benefit, ((0, 0), (0, pad), (0, pad)),
+            benefit, ((0, 0), (0, np_ - n), (0, p - q)),
             constant_values=_NEG_BENEFIT,
         )
     out = pl.pallas_call(
         functools.partial(
-            _batched_auction_kernel, q=q, eps_list=tuple(eps_list),
-            max_iters=max_iters,
+            _batched_auction_asym_kernel, n=n, q=q,
+            eps_list=tuple(eps_list), max_iters=max_iters,
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, p), jnp.int32),
-        # the whole batch lives in VMEM: ~10 live (B, P, P) f32/i32
-        # intermediates at B=40, P=128 ≈ 26 MB > the 16 MB default
-        # scoped-vmem limit (v5e VMEM is 128 MB)
+        out_shape=jax.ShapeDtypeStruct((bsz, np_), jnp.int32),
+        # the whole batch lives in VMEM (a handful of live (B, NP, P)
+        # f32/i32 intermediates; the asymmetric shapes are ~Q/N-fold
+        # smaller than the old square kernel's, but keep headroom)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(benefit.astype(jnp.float32))
-    return out[:, :q]
+    return out[:, :n]

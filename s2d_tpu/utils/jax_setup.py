@@ -23,5 +23,12 @@ def enable_compilation_cache(path: str = "/tmp/jax_cache") -> None:
 def force_cpu() -> None:
     try:
         jax.config.update("jax_platforms", "cpu")
+        # CPU runs use their OWN cache dir: XLA:CPU persists AOT-compiled
+        # machine code keyed without the host's CPU feature set, and this
+        # fleet migrates between hosts with different avx512 subsets —
+        # loading an entry compiled on the other host intermittently
+        # SIGSEGVs/SIGILLs (the cpu_aot_loader warning says exactly this).
+        # The TPU cache (serialized HLO, host-independent) stays shared.
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
     except Exception:
         pass

@@ -73,11 +73,12 @@ def build_real_costs(n=25, num_points=160000, layers=10):
 
 
 def build_benefits(cost, valid):
+    """Replicates auction_assign's asymmetric benefit construction."""
     cost = jnp.asarray(cost, jnp.float32)
     b, q, n = cost.shape
     obj_ids = jnp.arange(q, dtype=jnp.float32)
-    dummy_rows = jnp.arange(q - n, dtype=jnp.float32)
-    diversifier = -0.45 / q * ((obj_ids[None, :] + dummy_rows[:, None]) % q)
+    person_rows = jnp.arange(n, dtype=jnp.float32)
+    diversifier = -0.45 / q * ((obj_ids[None, :] + person_rows[:, None]) % q)
 
     def build_benefit(c, v):
         worst = jnp.max(jnp.where(v[None, :], c, -jnp.inf))
@@ -88,36 +89,26 @@ def build_benefits(cost, valid):
         bmax = benefit.max()
         scale = A.QUANT / jnp.maximum(bmax - bmin, 1e-12)
         quantized = jnp.round((benefit - bmin) * scale)
-        return jnp.concatenate([quantized, diversifier], axis=0)
+        return quantized + jnp.where(v[:, None], 0.0, diversifier)
 
     return jax.jit(jax.vmap(build_benefit))(cost, jnp.asarray(valid))
 
 
-def probe_rounds(bens, q, n_real=None, keep_slack=1.0):
-    """XLA replica of _auction_square WITH partial reset, emitting per-phase
-    iteration counts (semantics must track ops.auction run_phase).
-
-    keep_slack: multiplier on eps in the partial-reset keep test for DUMMY
-    persons (index >= n_real). Dummy benefit rows are constant, so any
-    dummy arrangement has (near-)equal value — relaxing their eps-CS
-    compression is an optimality-neutral round-count lever (validated
-    empirically against scipy below). float("inf") = dummies never reset.
-    Returns (per-phase iters, assignment person->object)."""
-    eps_list = A._eps_schedule(q, exact=False)
-    person_ids = jnp.arange(q)
+def probe_rounds(bens, n, q):
+    """XLA replica of _auction_asym (forward bids + reverse seductions)
+    emitting per-phase (forward, reverse) iteration counts (semantics must
+    track ops.auction.run_phase). Returns (iters (P, 2), person->object)."""
+    eps_list = A._eps_schedule(n, exact=False)
+    person_ids = jnp.arange(n)
+    obj_ids32 = jnp.arange(q, dtype=jnp.int32)
 
     def assigned_mask(owner):
-        idx = jnp.where(owner >= 0, owner, q)
-        return jnp.zeros((q + 1,), bool).at[idx].set(True)[:q]
+        idx = jnp.where(owner >= 0, owner, n)
+        return jnp.zeros((n + 1,), bool).at[idx].set(True)[:n]
 
     def person_to_obj(owner):
-        obj_ids = jnp.arange(q, dtype=jnp.int32)
-        idx = jnp.where(owner >= 0, owner, q)
-        return jnp.full((q + 1,), -1, jnp.int32).at[idx].set(obj_ids)[:q]
-
-    is_dummy = (
-        jnp.arange(q) >= (n_real if n_real is not None else q)
-    )
+        idx = jnp.where(owner >= 0, owner, n)
+        return jnp.full((n + 1,), -1, jnp.int32).at[idx].set(obj_ids32)[:n]
 
     @jax.jit
     def run(benefit):
@@ -125,29 +116,24 @@ def probe_rounds(bens, q, n_real=None, keep_slack=1.0):
         prices = jnp.zeros((q,), jnp.float32)
         owner = jnp.full((q,), -1, jnp.int32)
         for eps in eps_list:
-            pobj = person_to_obj(owner)
             net = benefit - prices[None, :]
             best = net.max(axis=1)
+            pobj = person_to_obj(owner)
             own_net = jnp.take_along_axis(
                 net, jnp.maximum(pobj, 0)[:, None], axis=1
             )[:, 0]
-            keep_eps = jnp.where(
-                is_dummy,
-                jnp.float32(min(keep_slack * eps, 1e30)),
-                jnp.float32(eps),
-            )
-            keep = (pobj >= 0) & (own_net >= best - keep_eps)
+            keep = (pobj >= 0) & (own_net >= best - eps)
             idx = jnp.where(keep, pobj, q)
-            owner0 = (
+            owner = (
                 jnp.full((q + 1,), -1, jnp.int32)
                 .at[idx].set(person_ids.astype(jnp.int32))[:q]
             )
 
-            def cond(state):
+            def fcond(state):
                 _, owner, it = state
                 return (~assigned_mask(owner).all()) & (it < 3000)
 
-            def body(state, eps=eps):
+            def fbody(state, eps=eps):
                 prices, owner, it = state
                 unassigned = ~assigned_mask(owner)
                 net = benefit - prices[None, :]
@@ -158,18 +144,69 @@ def probe_rounds(bens, q, n_real=None, keep_slack=1.0):
                 best_bid = jnp.full((q,), A._NEG).at[i1].max(bid)
                 is_winner = unassigned & (bid >= best_bid[i1]) & (bid > A._NEG)
                 winner = (
-                    jnp.full((q,), q, jnp.int32).at[i1]
-                    .min(jnp.where(is_winner, person_ids, q).astype(jnp.int32))
+                    jnp.full((q,), n, jnp.int32).at[i1]
+                    .min(jnp.where(is_winner, person_ids, n).astype(jnp.int32))
                 )
-                contested = winner < q
+                contested = winner < n
                 owner = jnp.where(contested, winner, owner)
                 prices = jnp.where(contested, best_bid, prices)
                 return prices, owner, it + 1
 
-            prices, owner, it = jax.lax.while_loop(
-                cond, body, (prices, owner0, jnp.int32(0))
+            prices, owner, fit = jax.lax.while_loop(
+                fcond, fbody, (prices, owner, jnp.int32(0))
             )
-            iters.append(it)
+
+            def rcond(state):
+                prices, owner, it = state
+                return ((owner < 0) & (prices > 0.0)).any() & (it < 3000)
+
+            def rbody(state, eps=eps):
+                prices, owner, it = state
+                assigned_p = assigned_mask(owner)
+                pobj = person_to_obj(owner)
+                net = benefit - prices[None, :]
+                own_net = jnp.take_along_axis(
+                    net, jnp.maximum(pobj, 0)[:, None], axis=1
+                )[:, 0]
+                best_net = net.max(axis=1)
+                pi = jnp.where(assigned_p, own_net, best_net - eps)
+                r = benefit - pi[:, None]
+                bidder = (owner < 0) & (prices > 0.0)
+                beta = r.max(axis=0)
+                i_star = jnp.where(
+                    r >= beta[None, :], person_ids[:, None], n
+                ).min(axis=0).astype(jnp.int32)
+                gamma = jnp.where(
+                    person_ids[:, None] == i_star[None, :], A._NEG, r
+                ).max(axis=0)
+                give_up = bidder & (beta <= eps)
+                prices = jnp.where(give_up, 0.0, prices)
+                seducing = bidder & ~give_up
+                cand = seducing[None, :] & (
+                    person_ids[:, None] == i_star[None, :]
+                )
+                win_beta = jnp.where(cand, beta[None, :], A._NEG).max(axis=1)
+                seduced = win_beta > A._NEG
+                j_win = jnp.where(
+                    cand & (beta[None, :] >= win_beta[:, None]),
+                    obj_ids32[None, :], q,
+                ).min(axis=1)
+                old_idx = jnp.where(seduced & (pobj >= 0), pobj, q)
+                owner = owner.at[old_idx].set(-1, mode="drop")
+                win_idx = jnp.where(seduced, j_win, q)
+                owner = owner.at[win_idx].set(
+                    person_ids.astype(jnp.int32), mode="drop"
+                )
+                new_price = jnp.maximum(0.0, gamma - eps)
+                prices = prices.at[win_idx].set(
+                    jnp.where(seduced, new_price[j_win], 0.0), mode="drop"
+                )
+                return prices, owner, it + 1
+
+            prices, owner, rit = jax.lax.while_loop(
+                rcond, rbody, (prices, owner, jnp.int32(0))
+            )
+            iters.append(jnp.stack([fit, rit]))
         return jnp.stack(iters), person_to_obj(owner)
 
     return jax.vmap(run)(bens)
@@ -197,39 +234,36 @@ def main():
     from scipy.optimize import linear_sum_assignment
 
     n = cost.shape[-1]
-    for slack in (1.0, 4.0, 16.0, 64.0, float("inf")):
-        its, pobj = probe_rounds(bens, q, n_real=n, keep_slack=slack)
-        its, pobj = np.asarray(its), np.asarray(pobj)
-        gaps = []
-        for i in range(cost.shape[0]):
-            c = np.asarray(cost[i], np.float64)
-            rows, cols = linear_sum_assignment(c)
-            opt = c[rows, cols].sum()
-            # person j (real target j) holds object pobj[i, j] (query idx)
-            got = c[pobj[i, :n], np.arange(n)].sum()
-            rng_ = max(c.max() - c.min(), 1e-12)
-            gaps.append((got - opt) / (rng_ * n))
-        print(
-            f"slack {slack:>5}: rounds mean {its.sum(1).mean():7.1f} "
-            f"max {int(its.sum(1).max()):5d}  "
-            f"gap/(range*n) mean {np.mean(gaps):.2e} max {np.max(gaps):.2e}",
-            flush=True,
-        )
-
-    its, _ = probe_rounds(bens, q, n_real=n, keep_slack=1.0)
-    its = np.asarray(its)
-    print("rounds/phase max :", its.max(axis=0).tolist(), flush=True)
-    print("rounds/phase mean:", np.round(its.mean(axis=0), 1).tolist(),
+    its, pobj = probe_rounds(bens, n, q)  # its: (B, phases, 2) fwd/rev
+    its, pobj = np.asarray(its), np.asarray(pobj)
+    gaps = []
+    for i in range(cost.shape[0]):
+        c = np.asarray(cost[i], np.float64)
+        rows, cols = linear_sum_assignment(c)
+        opt = c[rows, cols].sum()
+        # person j (real target j) holds object pobj[i, j] (query idx)
+        got = c[pobj[i, :n], np.arange(n)].sum()
+        rng_ = max(c.max() - c.min(), 1e-12)
+        gaps.append((got - opt) / (rng_ * n))
+    tot = its.sum(axis=(1, 2))  # (B,) fwd+rev rounds per problem
+    print(
+        f"rounds mean {tot.mean():7.1f} max {int(tot.max()):5d}  "
+        f"gap/(range*n) mean {np.mean(gaps):.2e} max {np.max(gaps):.2e}",
+        flush=True,
+    )
+    print("fwd rounds/phase max :", its[..., 0].max(axis=0).tolist(),
+          flush=True)
+    print("rev rounds/phase max :", its[..., 1].max(axis=0).tolist(),
           flush=True)
     print("rounds total: max-sum", int(its.max(axis=0).sum()),
-          "per-problem max", int(its.sum(axis=1).max()),
-          "mean", float(np.round(its.sum(axis=1).mean(), 1)), flush=True)
+          "per-problem max", int(tot.max()),
+          "mean", float(np.round(tot.mean(), 1)), flush=True)
 
     # pallas kernel wall time on the same benefits
-    from s2d_tpu.ops.auction_pallas import auction_square_pallas
+    from s2d_tpu.ops.auction_pallas import auction_asym_pallas
 
-    eps_list = A._eps_schedule(q, exact=False)
-    fn = lambda: auction_square_pallas(bens, q, eps_list)
+    eps_list = A._eps_schedule(n, exact=False)
+    fn = lambda: auction_asym_pallas(bens, n, q, eps_list)
     out = fn()
     _ = np.asarray(out[0])
     t0 = time.perf_counter()

@@ -99,13 +99,13 @@ def main():
         base_theta = A.THETA
         for theta, unroll in ((4.0, 8), (8.0, 4), (8.0, 8), (16.0, 8)):
             A.THETA = theta
-            orig = A._auction_square
-            A._auction_square = _ft.partial(orig, unroll=unroll)
+            orig = A._auction_asym
+            A._auction_asym = _ft.partial(orig, unroll=unroll)
             # fresh lambda: jit caches on function identity, so wrapping
             # A.auction_assign directly would silently reuse the first trace
             fn = jax.jit(lambda c, v: A.auction_assign(c, v))
             t = timed(lambda: fn(cost, valid), args.iters)
-            A._auction_square = orig
+            A._auction_asym = orig
             print(
                 f"auction theta={theta} unroll={unroll}: {t*1e3:.1f} ms",
                 flush=True,
