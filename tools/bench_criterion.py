@@ -49,8 +49,13 @@ def main():
                     default="iid")
     ap.add_argument("--assign-input", action="store_true",
                     help="precompute REAL assignments once, then time the "
-                         "loss side with assigns as jit inputs (isolates "
-                         "the cost stack + auction from the loss scan)")
+                         "loss side with assigns as jit inputs. CAVEAT: "
+                         "nothing consumes stacked_cost, so the whole "
+                         "cost scan is DCE'd — combine with --keep-costs "
+                         "for losses+costs-without-auction")
+    ap.add_argument("--keep-costs", action="store_true",
+                    help="with --assign-input: also output the cost "
+                         "stack sums so the cost scan survives DCE")
     args = ap.parse_args()
 
     from s2d_tpu.losses import criterion as C
@@ -146,7 +151,14 @@ def main():
             la = C._criterion_losses(sts[0], assigns_ab[0], cfg, True)
             lb = C._criterion_losses(sts[1], assigns_ab[1], cfg, True)
             losses = {**la, **{f"kd_{k}": v for k, v in lb.items()}}
-            return sum(jax.tree_util.tree_leaves(losses))
+            total = sum(jax.tree_util.tree_leaves(losses))
+            if args.keep_costs:
+                # keep the (otherwise dead) cost scan alive: its sums ride
+                # along in the output barrier
+                total = total + 1e-30 * sum(
+                    jnp.tanh(st["stacked_cost"]).sum() for st in sts
+                )
+            return total
 
         grad_fn0 = jax.jit(jax.value_and_grad(loss_only, argnums=(0, 1)))
         grad_fn = lambda m, am, lg: grad_fn0(m, am, lg, assigns_ab)
