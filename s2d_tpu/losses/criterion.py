@@ -200,8 +200,11 @@ def _uncertainty_threshold(
     if sub is None:
         sub = values[..., : min(subsample, s)]
     k_sub = k * (sub.shape[-1] / s)
-    lo = sub.min(axis=-1, keepdims=True)
-    hi = sub.max(axis=-1, keepdims=True)
+    # bisection bounds in f32 even for bf16 values: the per-element
+    # compares promote (fused into the bf16 reads), and the loop's mid
+    # steps don't stall at bf16 resolution
+    lo = sub.min(axis=-1, keepdims=True).astype(jnp.float32)
+    hi = sub.max(axis=-1, keepdims=True).astype(jnp.float32)
 
     def body(_, lohi):
         lo, hi = lohi
@@ -239,22 +242,28 @@ def _loss_masks(
     p = cfg.num_points
     num_uncertain = int(cfg.importance_sample_ratio * p)
 
+    # the (R, S) elementwise loss chain runs in gather_dtype (bf16 under
+    # AMP — the reference computes these point losses under fp16 autocast
+    # too, train_loop.py's CustomAMPTrainer wraps the whole loss) with
+    # every REDUCTION accumulating f32. The chain is HBM-traffic-bound at
+    # S~471K, so bf16 halves its bytes; exact f32 otherwise (tests).
+    wd = jnp.dtype(cfg.gather_dtype)
     if lattice is not None:
         from ..ops.lattice import lattice_sample
 
         pool_src = checkpoint_name(
             lattice_sample(
-                rows_src.astype(cfg.gather_dtype), *lattice, pool
+                rows_src.astype(wd), *lattice, pool
             ).reshape(r, -1),
             "pool_src",
-        ).astype(jnp.float32)  # (R, S) — dense slice blends, dense backward
+        )  # (R, S) — dense slice blends, dense backward
     else:
         pool_src = checkpoint_name(
             _lane_packed_sample(
                 rows_src, pool, cfg.bwd_einsum_precision, cfg.gather_dtype
             ),
             "pool_src",
-        ).astype(jnp.float32)  # (R, S), grads flow; loss math stays f32
+        )  # (R, S), grads flow
 
     # GATHER-FREE point selection: lane-axis take_along_axis on (R, S) was
     # measured as the wall of the full-scale train step (~38 of 42 s at
@@ -271,7 +280,7 @@ def _loss_masks(
     # A point picked by both contributes weight 2, exactly like the
     # reference's concatenated point list.
     uncertainty = -jnp.abs(jax.lax.stop_gradient(pool_src))
-    wts = bern_wts.astype(jnp.float32)
+    wts = bern_wts.astype(wd)
     if num_uncertain > 0:
         sub = None
         s = uncertainty.shape[-1]
@@ -283,17 +292,22 @@ def _loss_masks(
             stride = max(1, s // 32768)
             sub = uncertainty[..., ::stride]
         thr = _uncertainty_threshold(uncertainty, num_uncertain, sub=sub)
-        wts = wts + (uncertainty >= thr).astype(wts.dtype)
-    count = jnp.maximum(wts.sum(axis=1), 1.0)
+        wts = wts + (uncertainty >= thr).astype(wd)
+    count = jnp.maximum(wts.sum(axis=1, dtype=jnp.float32), 1.0)
 
-    ce = jnp.maximum(pool_src, 0) - pool_src * pool_tgt + jax.nn.softplus(
+    tgt = pool_tgt.astype(wd)
+    ce = jnp.maximum(pool_src, 0) - pool_src * tgt + jax.nn.softplus(
         -jnp.abs(pool_src)
     )
-    loss_mask = (((ce * wts).sum(axis=1) / count) * keep).sum() / num_masks
+    loss_mask = (
+        ((ce * wts).sum(axis=1, dtype=jnp.float32) / count) * keep
+    ).sum() / num_masks
 
     probs = jax.nn.sigmoid(pool_src)
-    numerator = 2.0 * (probs * pool_tgt * wts).sum(axis=1)
-    denominator = (probs * wts).sum(axis=1) + (pool_tgt * wts).sum(axis=1)
+    numerator = 2.0 * (probs * tgt * wts).sum(axis=1, dtype=jnp.float32)
+    denominator = (probs * wts).sum(axis=1, dtype=jnp.float32) + (
+        tgt * wts
+    ).sum(axis=1, dtype=jnp.float32)
     dice = 1.0 - (numerator + 1.0) / (denominator + 1.0)
     loss_dice = (dice * keep).sum() / num_masks
     return loss_mask, loss_dice
@@ -439,12 +453,18 @@ def _criterion_costs_multi(
         bsz, nsl, t = tgt_masks.shape[:3]
         rows_tgt = tgt_masks.reshape(bsz * nsl * t, *tgt_masks.shape[3:])
         if lattice_mode:
-            rows_f = rows_tgt.astype(jnp.float32)
+            # loss-side pool in gather_dtype (bf16 under AMP, halves the
+            # (R, S) bytes the loss chain reads); the MATCHER's tgt_pts
+            # stays f32 — the reference matcher is an autocast-off island
             pool_tgt = jax.lax.stop_gradient(
-                lattice_sample(rows_f, *lat_loss, phase_loss)
+                lattice_sample(
+                    rows_tgt.astype(cfg.gather_dtype), *lat_loss, phase_loss
+                )
             ).reshape(bsz * nsl * t, num_sampled)
             tgt_pts = jax.lax.stop_gradient(
-                lattice_sample(rows_f, *lat_match, phase_match)
+                lattice_sample(
+                    rows_tgt.astype(jnp.float32), *lat_match, phase_match
+                )
             ).reshape(bsz, nsl, t * p)
         else:
             pool_tgt = jax.lax.stop_gradient(

@@ -151,3 +151,23 @@ def test_criterion_lattice_mode():
     g = jax.grad(total)(outputs["pred_masks"])
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).sum()) > 0
+
+    # AMP mode: the (R, S) loss chain runs in bf16 with f32 reductions —
+    # values must stay within bf16-noise of the exact f32 path
+    cfg_amp = dataclasses.replace(cfg_lat, gather_dtype=jnp.bfloat16)
+    losses_amp = set_criterion(
+        jax.random.PRNGKey(0), outputs, masks, valid, cfg_amp
+    )
+    for k in ("loss_mask", "loss_dice"):
+        a, b_ = float(losses_amp[k]), float(losses_lat[k])
+        assert np.isfinite(a)
+        assert abs(a - b_) < 0.03 * max(1.0, abs(b_)), (k, a, b_)
+    g_amp = jax.grad(
+        lambda pm: sum(
+            v for kk, v in set_criterion(
+                jax.random.PRNGKey(0), dict(outputs, pred_masks=pm), masks,
+                valid, cfg_amp,
+            ).items() if kk != "loss_ce"
+        )
+    )(outputs["pred_masks"])
+    assert np.all(np.isfinite(np.asarray(g_amp)))
