@@ -1,0 +1,344 @@
+"""Fused lattice point-loss kernel: blends + ce/dice sums, no (R, S) pool.
+
+The criterion's per-layer point loss (reference criterion.py:75-136) reads
+a prediction pool and a target pool of S ~ 471K points per row and runs an
+elementwise chain (selection weights, sigmoid-BCE, dice partials) over
+them. Even with lattice sampling (ops/lattice.py) and a bf16 chain, XLA
+materializes the (R, S) pools in HBM and streams them several times per
+layer pass — measured ~8.9 ms per pass at full scale, ~20x over the
+intrinsic compute. This kernel fuses the whole pass:
+
+    grid over the Ly lattice rows; per row l:
+      * y-blend 3-row windows of the VMEM-resident (zero-padded) source
+        blocks: src rows l//m_y_p + {-1,0,1}, tgt rows l//m_y_t + {-1,0,1}
+      * x-blend via ONE MXU contraction per map against a precomputed
+        2-nonzero-per-column matrix (W_src, Lx) — handles any integer
+        up/down x relation
+      * selection weights (Bernoulli block + uncertainty >= thr), the
+        stable sigmoid-BCE, and the dice partial products — all on
+        (R, Lx) tiles that never leave VMEM
+      * accumulate 5 per-row f32 sums (ce*w, w, sigmoid*tgt*w, sigmoid*w,
+        tgt*w)
+
+so HBM traffic per pass is the SOURCE maps + the Bernoulli block, not the
+pools. The loss assembly (counts, keep, num_masks, dice ratio) stays in
+XLA and autodiffs; the kernel pair is wrapped in a custom VJP whose
+backward recomputes the blends per row and accumulates d_src in a
+VMEM-resident padded block (the target is stop-gradient).
+
+The uncertainty threshold is computed OUTSIDE on a column-strided
+sub-lattice: striding the lattice columns by c IS the (Ly, Lx/c) lattice
+with phase ux/c, so the subsample never materializes the full pool either.
+
+Eligibility: lattice mode with integer y-UPSAMPLE for both maps
+(Ly % H == 0); the x relation may be any integer up/down (the matrix
+absorbs it). The production s2d shapes (pred 92x160, tgt 368x640,
+lattice 736x640) qualify.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def x_blend_matrix(w: int, lx: int, phase_x: jnp.ndarray,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """(W, Lx) matrix B with B[c, j] = bilinear weight of source column c
+    for lattice column j at x = (j + phase_x)/Lx (align_corners=False,
+    zeros outside) — 2 nonzeros per column. Contraction (R, W) @ (W, Lx)
+    reproduces ops.lattice._interp_axis on the x axis exactly."""
+    j = jnp.arange(lx, dtype=jnp.float32)
+    pos = (j + phase_x) / lx * w - 0.5
+    c0 = jnp.floor(pos)
+    frac = pos - c0
+    c0i = c0.astype(jnp.int32)
+    m0 = jax.nn.one_hot(c0i, w, axis=0, dtype=dtype)  # (W, Lx); OOB -> 0
+    m1 = jax.nn.one_hot(c0i + 1, w, axis=0, dtype=dtype)
+    return m0 * (1.0 - frac).astype(dtype) + m1 * frac.astype(dtype)
+
+
+def y_blend_weights(h: int, ly: int, phase_y: jnp.ndarray) -> jnp.ndarray:
+    """(Ly, 3) weights over source rows {l//m - 1, l//m, l//m + 1} for
+    lattice row l (m = Ly // h, integer upsample; zero-padded sources make
+    the border rows exact)."""
+    assert ly % h == 0, (h, ly)
+    m = ly // h
+    r = jnp.arange(ly, dtype=jnp.float32) % m
+    delta = (r + phase_y) / m - 0.5  # in [-0.5, 0.5)
+    f = jnp.floor(delta)  # -1 or 0
+    frac = delta - f
+    is_m1 = (f < -0.5).astype(jnp.float32)
+    w_m1 = (1.0 - frac) * is_m1
+    w_0 = frac * is_m1 + (1.0 - frac) * (1.0 - is_m1)
+    w_p1 = frac * (1.0 - is_m1)
+    return jnp.stack([w_m1, w_0, w_p1], axis=1)  # (Ly, 3)
+
+
+def _fwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
+                bxp_ref, bxt_ref, out_ref, *, m_y_p: int, m_y_t: int,
+                compute_dtype):
+    l = pl.program_id(0)
+    qp = l // m_y_p
+    qt = l // m_y_t
+
+    def yblend(ref, q, wy_ref):
+        # ref: (R, H + 2, W) zero-padded on the row axis; rows q..q+2 are
+        # source rows q-1..q+1. Weights stay (1, 1) vectors — Mosaic has
+        # no scalar extraction from vector values.
+        rows = ref[:, pl.ds(q, 3), :]
+        w = wy_ref[pl.ds(l, 1), :]  # (1, 3)
+        return (
+            rows[:, 0, :] * w[:, 0:1]
+            + rows[:, 1, :] * w[:, 1:2]
+            + rows[:, 2, :] * w[:, 2:3]
+        )
+
+    sp = yblend(src_ref, qp, wyp_ref)  # (R, Wp) compute dtype
+    st = yblend(tgt_ref, qt, wyt_ref)  # (R, Wt)
+    pv = jax.lax.dot_general(
+        sp, bxp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(compute_dtype)  # (R, Lx)
+    tv = jax.lax.dot_general(
+        st, bxt_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(compute_dtype)
+
+    thr = thr_ref[...]  # (R, 1) f32
+    unc = -jnp.abs(pv)
+    sel = (unc >= thr).astype(compute_dtype)
+    w = bern_ref[:, 0, :].astype(compute_dtype) + sel  # (R, Lx)
+
+    ce = (
+        jnp.maximum(pv, 0.0)
+        - pv * tv
+        + jax.nn.softplus(-jnp.abs(pv))
+    )
+    probs = jax.nn.sigmoid(pv)
+
+    sums = jnp.stack([
+        (ce * w).astype(jnp.float32).sum(axis=1),
+        w.astype(jnp.float32).sum(axis=1),
+        (probs * tv * w).astype(jnp.float32).sum(axis=1),
+        (probs * w).astype(jnp.float32).sum(axis=1),
+        (tv * w).astype(jnp.float32).sum(axis=1),
+    ])  # (5, R)
+
+    @pl.when(l == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += sums
+
+
+def _bwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
+                bxp_ref, bxt_ref, g_ref, dsrc_ref, *, m_y_p: int,
+                m_y_t: int, compute_dtype):
+    l = pl.program_id(0)
+    qp = l // m_y_p
+    qt = l // m_y_t
+
+    def yblend(ref, q, wy_ref):
+        rows = ref[:, pl.ds(q, 3), :]
+        w = wy_ref[pl.ds(l, 1), :]  # (1, 3)
+        return (
+            rows[:, 0, :] * w[:, 0:1]
+            + rows[:, 1, :] * w[:, 1:2]
+            + rows[:, 2, :] * w[:, 2:3]
+        ), w
+
+    sp, wp = yblend(src_ref, qp, wyp_ref)
+    st, _ = yblend(tgt_ref, qt, wyt_ref)
+    pv = jax.lax.dot_general(
+        sp, bxp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(compute_dtype)
+    tv = jax.lax.dot_general(
+        st, bxt_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(compute_dtype)
+
+    thr = thr_ref[...]
+    unc = -jnp.abs(pv)
+    sel = (unc >= thr).astype(compute_dtype)
+    w = bern_ref[:, 0, :].astype(compute_dtype) + sel
+
+    # g: (5, R) cotangents of the per-row sums; selection weights and the
+    # target are stop-gradient
+    g_ce = g_ref[0:1, :].T.astype(compute_dtype)  # (R, 1)
+    g_num = g_ref[2:3, :].T.astype(compute_dtype)
+    g_ps = g_ref[3:4, :].T.astype(compute_dtype)
+
+    probs = jax.lax.logistic(pv.astype(jnp.float32)).astype(compute_dtype)
+    dprobs = probs * (1.0 - probs)
+    dpv = w * (
+        g_ce * (probs - tv) + (g_num * tv + g_ps) * dprobs
+    )  # (R, Lx)
+
+    dsp = jax.lax.dot_general(
+        dpv, bxp_ref[...].astype(compute_dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (R, Wp) = dpv @ bxp^T
+
+    @pl.when(l == 0)
+    def _init():
+        dsrc_ref[...] = jnp.zeros_like(dsrc_ref)
+
+    # scatter the 3-row y-window back: rows q..q+2 of the padded block
+    cur = dsrc_ref[:, pl.ds(qp, 3), :]
+    upd = jnp.stack(
+        [dsp * wp[:, 0:1], dsp * wp[:, 1:2], dsp * wp[:, 2:3]], axis=1
+    )  # (R, 3, Wp)
+    dsrc_ref[:, pl.ds(qp, 3), :] = cur + upd.astype(jnp.float32)
+
+
+def _prep(src, tgt, bern, thr, ly, lx, phase, compute_dtype):
+    r, hp, wp = src.shape
+    _, ht, wt = tgt.shape
+    assert ly % hp == 0 and ly % ht == 0, (
+        "fused point loss needs integer y-upsample for both maps"
+    )
+    r_pad = _round_up(r, 8)
+    pad_r = r_pad - r
+
+    def pad_rows(x):
+        # zero row padding top/bottom (exact zeros-outside bilinear
+        # border), zero row-padding for the R axis
+        return jnp.pad(
+            x.astype(compute_dtype), ((0, pad_r), (1, 1), (0, 0))
+        )
+
+    srcp = pad_rows(src)
+    tgtp = pad_rows(tgt)
+    bernp = jnp.pad(
+        bern.reshape(r, ly, lx).astype(jnp.int8), ((0, pad_r), (0, 0), (0, 0))
+    )
+    # padding rows: thr = +inf so sel = 0 there; bern rows are 0
+    thrp = jnp.pad(
+        thr.reshape(r, 1).astype(jnp.float32), ((0, pad_r), (0, 0)),
+        constant_values=jnp.float32(3.0e38),
+    )
+    wyp = y_blend_weights(hp, ly, phase[0])
+    wyt = y_blend_weights(ht, ly, phase[0])  # same lattice y-phase
+    bxp = x_blend_matrix(wp, lx, phase[1], dtype=compute_dtype)
+    bxt = x_blend_matrix(wt, lx, phase[1], dtype=compute_dtype)
+    return srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, r_pad
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+)
+def fused_point_sums(
+    src: jnp.ndarray,  # (R, Hp, Wp) prediction logits rows
+    tgt: jnp.ndarray,  # (R, Ht, Wt) target rows (stop-gradient)
+    bern: jnp.ndarray,  # (R, Ly*Lx) 0/1 Bernoulli weights
+    thr: jnp.ndarray,  # (R,) or (R, 1) uncertainty thresholds (f32)
+    phase: jnp.ndarray,  # (2,) = (u_y, u_x) shared lattice phase
+    ly: int,
+    lx: int,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
+    """Five (R,) f32 sums over the (Ly, Lx) lattice pool:
+    (ce*w, w, sigmoid*tgt*w, sigmoid*w, tgt*w), where
+    w = bern + [|pred| <= -thr]."""
+    out = _fused_fwd_impl(
+        src, tgt, bern, thr, phase, ly, lx, compute_dtype, interpret
+    )
+    return tuple(out[i] for i in range(5))
+
+
+def _fused_fwd_impl(src, tgt, bern, thr, phase, ly, lx, compute_dtype,
+                    interpret):
+    r = src.shape[0]
+    srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, r_pad = _prep(
+        src, tgt, bern, thr, ly, lx, phase, compute_dtype
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, m_y_p=ly // src.shape[1], m_y_t=ly // tgt.shape[1],
+            compute_dtype=compute_dtype,
+        ),
+        out_shape=jax.ShapeDtypeStruct((5, r_pad), jnp.float32),
+        grid=(ly,),
+        in_specs=[
+            pl.BlockSpec(srcp.shape, lambda l: (0, 0, 0)),
+            pl.BlockSpec(tgtp.shape, lambda l: (0, 0, 0)),
+            pl.BlockSpec((r_pad, 1, lx), lambda l: (0, l, 0)),
+            pl.BlockSpec((r_pad, 1), lambda l: (0, 0)),
+            pl.BlockSpec(wyp.shape, lambda l: (0, 0)),
+            pl.BlockSpec(wyt.shape, lambda l: (0, 0)),
+            pl.BlockSpec(bxp.shape, lambda l: (0, 0)),
+            pl.BlockSpec(bxt.shape, lambda l: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((5, r_pad), lambda l: (0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt)
+    return out[:, :r]
+
+
+def _fused_fwd(src, tgt, bern, thr, phase, ly, lx, compute_dtype,
+               interpret):
+    out = _fused_fwd_impl(
+        src, tgt, bern, thr, phase, ly, lx, compute_dtype, interpret
+    )
+    return tuple(out[i] for i in range(5)), (src, tgt, bern, thr, phase)
+
+
+def _fused_bwd(ly, lx, compute_dtype, interpret, residuals, g):
+    src, tgt, bern, thr, phase = residuals
+    r = src.shape[0]
+    srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, r_pad = _prep(
+        src, tgt, bern, thr, ly, lx, phase, compute_dtype
+    )
+    gm = jnp.stack([jnp.asarray(gi, jnp.float32) for gi in g])  # (5, R)
+    gm = jnp.pad(gm, ((0, 0), (0, r_pad - r)))
+    dsrc = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, m_y_p=ly // src.shape[1], m_y_t=ly // tgt.shape[1],
+            compute_dtype=compute_dtype,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (r_pad, src.shape[1] + 2, src.shape[2]), jnp.float32
+        ),
+        grid=(ly,),
+        in_specs=[
+            pl.BlockSpec(srcp.shape, lambda l: (0, 0, 0)),
+            pl.BlockSpec(tgtp.shape, lambda l: (0, 0, 0)),
+            pl.BlockSpec((r_pad, 1, lx), lambda l: (0, l, 0)),
+            pl.BlockSpec((r_pad, 1), lambda l: (0, 0)),
+            pl.BlockSpec(wyp.shape, lambda l: (0, 0)),
+            pl.BlockSpec(wyt.shape, lambda l: (0, 0)),
+            pl.BlockSpec(bxp.shape, lambda l: (0, 0)),
+            pl.BlockSpec(bxt.shape, lambda l: (0, 0)),
+            pl.BlockSpec(gm.shape, lambda l: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (r_pad, src.shape[1] + 2, src.shape[2]), lambda l: (0, 0, 0)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, gm)
+    d_src = dsrc[:r, 1:-1, :].astype(src.dtype)
+    zeros = lambda x: jnp.zeros_like(x)
+    return d_src, zeros(tgt), zeros(bern), zeros(thr), zeros(phase)
+
+
+fused_point_sums.defvjp(_fused_fwd, _fused_bwd)
