@@ -125,19 +125,22 @@ def _fwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
     )
     probs = jax.nn.sigmoid(pv)
 
-    sums = jnp.stack([
-        (ce * w).astype(jnp.float32).sum(axis=1),
-        w.astype(jnp.float32).sum(axis=1),
-        (probs * tv * w).astype(jnp.float32).sum(axis=1),
-        (probs * w).astype(jnp.float32).sum(axis=1),
-        (tv * w).astype(jnp.float32).sum(axis=1),
-    ])  # (5, R)
-
     @pl.when(l == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    out_ref[...] += sums
+    # (R, 8) output, one column per sum — keepdims reductions and column
+    # writes stay 2D throughout (Mosaic dislikes 1D vectors/transposes)
+    def acc(k, x):
+        out_ref[:, k:k + 1] += x.astype(jnp.float32).sum(
+            axis=1, keepdims=True
+        )
+
+    acc(0, ce * w)
+    acc(1, w)
+    acc(2, probs * tv * w)
+    acc(3, probs * w)
+    acc(4, tv * w)
 
 
 def _bwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
@@ -172,11 +175,11 @@ def _bwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
     sel = (unc >= thr).astype(compute_dtype)
     w = bern_ref[:, 0, :].astype(compute_dtype) + sel
 
-    # g: (5, R) cotangents of the per-row sums; selection weights and the
-    # target are stop-gradient
-    g_ce = g_ref[0:1, :].T.astype(compute_dtype)  # (R, 1)
-    g_num = g_ref[2:3, :].T.astype(compute_dtype)
-    g_ps = g_ref[3:4, :].T.astype(compute_dtype)
+    # g: (R, 8) cotangents of the per-row sums (column k = sum k);
+    # selection weights and the target are stop-gradient
+    g_ce = g_ref[:, 0:1].astype(compute_dtype)  # (R, 1)
+    g_num = g_ref[:, 2:3].astype(compute_dtype)
+    g_ps = g_ref[:, 3:4].astype(compute_dtype)
 
     probs = jax.lax.logistic(pv.astype(jnp.float32)).astype(compute_dtype)
     dprobs = probs * (1.0 - probs)
@@ -255,7 +258,7 @@ def fused_point_sums(
     out = _fused_fwd_impl(
         src, tgt, bern, thr, phase, ly, lx, compute_dtype, interpret
     )
-    return tuple(out[i] for i in range(5))
+    return tuple(out[:, i] for i in range(5))
 
 
 def _fused_fwd_impl(src, tgt, bern, thr, phase, ly, lx, compute_dtype,
@@ -269,7 +272,7 @@ def _fused_fwd_impl(src, tgt, bern, thr, phase, ly, lx, compute_dtype,
             _fwd_kernel, m_y_p=ly // src.shape[1], m_y_t=ly // tgt.shape[1],
             compute_dtype=compute_dtype,
         ),
-        out_shape=jax.ShapeDtypeStruct((5, r_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r_pad, 8), jnp.float32),
         grid=(ly,),
         in_specs=[
             pl.BlockSpec(srcp.shape, lambda l: (0, 0, 0)),
@@ -281,14 +284,14 @@ def _fused_fwd_impl(src, tgt, bern, thr, phase, ly, lx, compute_dtype,
             pl.BlockSpec(bxp.shape, lambda l: (0, 0)),
             pl.BlockSpec(bxt.shape, lambda l: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((5, r_pad), lambda l: (0, 0)),
+        out_specs=pl.BlockSpec((r_pad, 8), lambda l: (0, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
     )(srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt)
-    return out[:, :r]
+    return out[:r, :]
 
 
 def _fused_fwd(src, tgt, bern, thr, phase, ly, lx, compute_dtype,
@@ -296,7 +299,10 @@ def _fused_fwd(src, tgt, bern, thr, phase, ly, lx, compute_dtype,
     out = _fused_fwd_impl(
         src, tgt, bern, thr, phase, ly, lx, compute_dtype, interpret
     )
-    return tuple(out[i] for i in range(5)), (src, tgt, bern, thr, phase)
+    return (
+        tuple(out[:, i] for i in range(5)),
+        (src, tgt, bern, thr, phase),
+    )
 
 
 def _fused_bwd(ly, lx, compute_dtype, interpret, residuals, g):
@@ -305,8 +311,11 @@ def _fused_bwd(ly, lx, compute_dtype, interpret, residuals, g):
     srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, r_pad = _prep(
         src, tgt, bern, thr, ly, lx, phase, compute_dtype
     )
-    gm = jnp.stack([jnp.asarray(gi, jnp.float32) for gi in g])  # (5, R)
-    gm = jnp.pad(gm, ((0, 0), (0, r_pad - r)))
+    gm = jnp.stack(
+        [jnp.asarray(gi, jnp.float32) for gi in g] + [jnp.zeros((r,))] * 3,
+        axis=1,
+    )  # (R, 8)
+    gm = jnp.pad(gm, ((0, r_pad - r), (0, 0)))
     dsrc = pl.pallas_call(
         functools.partial(
             _bwd_kernel, m_y_p=ly // src.shape[1], m_y_t=ly // tgt.shape[1],
