@@ -116,7 +116,7 @@ def _fwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
     thr = thr_ref[...]  # (R, 1) f32
     unc = -jnp.abs(pv)
     sel = (unc >= thr).astype(compute_dtype)
-    w = bern_ref[:, 0, :].astype(compute_dtype) + sel  # (R, Lx)
+    w = bern_ref[0] + sel  # (R, Lx)
 
     ce = (
         jnp.maximum(pv, 0.0)
@@ -144,8 +144,8 @@ def _fwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
 
 
 def _bwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
-                bxp_ref, bxt_ref, g_ref, dsrc_ref, *, m_y_p: int,
-                m_y_t: int, compute_dtype):
+                bxp_ref, bxt_ref, bxpt_ref, g_ref, dsrc_ref, *,
+                m_y_p: int, m_y_t: int, compute_dtype):
     l = pl.program_id(0)
     qp = l // m_y_p
     qt = l // m_y_t
@@ -173,7 +173,7 @@ def _bwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
     thr = thr_ref[...]
     unc = -jnp.abs(pv)
     sel = (unc >= thr).astype(compute_dtype)
-    w = bern_ref[:, 0, :].astype(compute_dtype) + sel
+    w = bern_ref[0] + sel
 
     # g: (R, 8) cotangents of the per-row sums (column k = sum k);
     # selection weights and the target are stop-gradient
@@ -188,10 +188,10 @@ def _bwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
     )  # (R, Lx)
 
     dsp = jax.lax.dot_general(
-        dpv, bxp_ref[...].astype(compute_dtype),
-        (((1,), (1,)), ((), ())),
+        dpv, bxpt_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (R, Wp) = dpv @ bxp^T
+    )  # (R, Wp) = dpv @ bxp^T (pre-transposed input: no in-kernel
+    # transpose/relayout)
 
     @pl.when(l == 0)
     def _init():
@@ -223,8 +223,14 @@ def _prep(src, tgt, bern, thr, ly, lx, phase, compute_dtype):
 
     srcp = pad_rows(src)
     tgtp = pad_rows(tgt)
+    # (Ly, R_pad, Lx): per-l partial blocks are (1, R_pad, Lx), whose
+    # last two dims satisfy Mosaic's tiling divisibility (a (R, 1, Lx)
+    # layout would put 1 on the second-minor dim — illegal). bf16 0/1.
     bernp = jnp.pad(
-        bern.reshape(r, ly, lx).astype(jnp.int8), ((0, pad_r), (0, 0), (0, 0))
+        jnp.swapaxes(
+            bern.reshape(r, ly, lx).astype(compute_dtype), 0, 1
+        ),
+        ((0, 0), (0, pad_r), (0, 0)),
     )
     # padding rows: thr = +inf so sel = 0 there; bern rows are 0
     thrp = jnp.pad(
@@ -277,7 +283,7 @@ def _fused_fwd_impl(src, tgt, bern, thr, phase, ly, lx, compute_dtype,
         in_specs=[
             pl.BlockSpec(srcp.shape, lambda l: (0, 0, 0)),
             pl.BlockSpec(tgtp.shape, lambda l: (0, 0, 0)),
-            pl.BlockSpec((r_pad, 1, lx), lambda l: (0, l, 0)),
+            pl.BlockSpec((1, r_pad, lx), lambda l: (l, 0, 0)),
             pl.BlockSpec((r_pad, 1), lambda l: (0, 0)),
             pl.BlockSpec(wyp.shape, lambda l: (0, 0)),
             pl.BlockSpec(wyt.shape, lambda l: (0, 0)),
@@ -328,12 +334,13 @@ def _fused_bwd(ly, lx, compute_dtype, interpret, residuals, g):
         in_specs=[
             pl.BlockSpec(srcp.shape, lambda l: (0, 0, 0)),
             pl.BlockSpec(tgtp.shape, lambda l: (0, 0, 0)),
-            pl.BlockSpec((r_pad, 1, lx), lambda l: (0, l, 0)),
+            pl.BlockSpec((1, r_pad, lx), lambda l: (l, 0, 0)),
             pl.BlockSpec((r_pad, 1), lambda l: (0, 0)),
             pl.BlockSpec(wyp.shape, lambda l: (0, 0)),
             pl.BlockSpec(wyt.shape, lambda l: (0, 0)),
             pl.BlockSpec(bxp.shape, lambda l: (0, 0)),
             pl.BlockSpec(bxt.shape, lambda l: (0, 0)),
+            pl.BlockSpec((bxp.shape[1], bxp.shape[0]), lambda l: (0, 0)),
             pl.BlockSpec(gm.shape, lambda l: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
@@ -344,7 +351,7 @@ def _fused_bwd(ly, lx, compute_dtype, interpret, residuals, g):
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, gm)
+    )(srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, bxp.T, gm)
     d_src = dsrc[:r, 1:-1, :].astype(src.dtype)
     zeros = lambda x: jnp.zeros_like(x)
     return d_src, zeros(tgt), zeros(bern), zeros(thr), zeros(phase)
