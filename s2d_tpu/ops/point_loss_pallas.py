@@ -83,8 +83,49 @@ def y_blend_weights(h: int, ly: int, phase_y: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([w_m1, w_0, w_p1], axis=1)  # (Ly, 3)
 
 
+
+def _xblend(strip, bx_ref, xw_ref, shift: bool, compute_dtype):
+    """x-resample a (R, W) strip to (R, Lx). shift=True is the W == Lx
+    fast path: a 3-term lane-shift blend (pltpu.roll + border masks)
+    instead of a (R, W) x (W, Lx) MXU contraction whose K = W."""
+    if not shift:
+        return jax.lax.dot_general(
+            strip, bx_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype)
+    w = xw_ref[...]  # (1, 3)
+    lane = jax.lax.broadcasted_iota(jnp.int32, strip.shape, 1)
+    lx = strip.shape[1]
+    left = pltpu.roll(strip, 1, 1)  # left[j] = strip[j - 1]
+    left = jnp.where(lane == 0, jnp.zeros_like(strip), left)
+    # roll requires non-negative shifts; lx-1 == -1 (mod lx)
+    right = pltpu.roll(strip, strip.shape[1] - 1, 1)  # right[j] = strip[j+1]
+    right = jnp.where(lane == lx - 1, jnp.zeros_like(strip), right)
+    return (
+        left * w[:, 0:1] + strip * w[:, 1:2] + right * w[:, 2:3]
+    ).astype(compute_dtype)
+
+
+def _xblend_t(dpv, bxt_ref, xw_ref, shift: bool):
+    """transpose of _xblend: (R, Lx) cotangent -> (R, W)."""
+    if not shift:
+        return jax.lax.dot_general(
+            dpv, bxt_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    w = xw_ref[...]
+    lane = jax.lax.broadcasted_iota(jnp.int32, dpv.shape, 1)
+    lx = dpv.shape[1]
+    right = pltpu.roll(dpv, dpv.shape[1] - 1, 1)  # dpv[c + 1]
+    right = jnp.where(lane == lx - 1, jnp.zeros_like(dpv), right)
+    left = pltpu.roll(dpv, 1, 1)  # dpv[c - 1]
+    left = jnp.where(lane == 0, jnp.zeros_like(dpv), left)
+    return right * w[:, 0:1] + dpv * w[:, 1:2] + left * w[:, 2:3]
+
+
 def _fwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
-                bxp_ref, bxt_ref, out_ref, *, m_y_p: int, m_y_t: int,
+                bxp_ref, bxt_ref, xwp_ref, xwt_ref, out_ref, *,
+                m_y_p: int, m_y_t: int, shift_p: bool, shift_t: bool,
                 compute_dtype):
     l = pl.program_id(0)
     qp = l // m_y_p
@@ -104,14 +145,8 @@ def _fwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
 
     sp = yblend(src_ref, qp, wyp_ref)  # (R, Wp) compute dtype
     st = yblend(tgt_ref, qt, wyt_ref)  # (R, Wt)
-    pv = jax.lax.dot_general(
-        sp, bxp_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(compute_dtype)  # (R, Lx)
-    tv = jax.lax.dot_general(
-        st, bxt_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(compute_dtype)
+    pv = _xblend(sp, bxp_ref, xwp_ref, shift_p, compute_dtype)  # (R, Lx)
+    tv = _xblend(st, bxt_ref, xwt_ref, shift_t, compute_dtype)
 
     thr = thr_ref[...]  # (R, 1) f32
     unc = -jnp.abs(pv)
@@ -144,8 +179,9 @@ def _fwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
 
 
 def _bwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
-                bxp_ref, bxt_ref, bxpt_ref, g_ref, dsrc_ref, *,
-                m_y_p: int, m_y_t: int, compute_dtype):
+                bxp_ref, bxt_ref, bxpt_ref, xwp_ref, xwt_ref, g_ref,
+                dsrc_ref, *, m_y_p: int, m_y_t: int, shift_p: bool,
+                shift_t: bool, compute_dtype):
     l = pl.program_id(0)
     qp = l // m_y_p
     qt = l // m_y_t
@@ -161,14 +197,8 @@ def _bwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
 
     sp, wp = yblend(src_ref, qp, wyp_ref)
     st, _ = yblend(tgt_ref, qt, wyt_ref)
-    pv = jax.lax.dot_general(
-        sp, bxp_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(compute_dtype)
-    tv = jax.lax.dot_general(
-        st, bxt_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(compute_dtype)
+    pv = _xblend(sp, bxp_ref, xwp_ref, shift_p, compute_dtype)
+    tv = _xblend(st, bxt_ref, xwt_ref, shift_t, compute_dtype)
 
     thr = thr_ref[...]
     unc = -jnp.abs(pv)
@@ -187,11 +217,7 @@ def _bwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
         g_ce * (probs - tv) + (g_num * tv + g_ps) * dprobs
     )  # (R, Lx)
 
-    dsp = jax.lax.dot_general(
-        dpv, bxpt_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (R, Wp) = dpv @ bxp^T (pre-transposed input: no in-kernel
-    # transpose/relayout)
+    dsp = _xblend_t(dpv, bxpt_ref, xwp_ref, shift_p)  # (R, Wp)
 
     @pl.when(l == 0)
     def _init():
@@ -241,7 +267,15 @@ def _prep(src, tgt, bern, thr, ly, lx, phase, compute_dtype):
     wyt = y_blend_weights(ht, ly, phase[0])  # same lattice y-phase
     bxp = x_blend_matrix(wp, lx, phase[1], dtype=compute_dtype)
     bxt = x_blend_matrix(wt, lx, phase[1], dtype=compute_dtype)
-    return srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, r_pad
+    # W == Lx fast path: a 3-term lane-shift blend replaces the MXU
+    # contraction (whose K = W is the dominant in-kernel matmul for the
+    # identity-width target map). Weights = the m=1 y-blend row.
+    xwp = y_blend_weights(wp, wp, phase[1])[0:1].astype(compute_dtype) \
+        if wp == lx else jnp.zeros((1, 3), compute_dtype)
+    xwt = y_blend_weights(wt, wt, phase[1])[0:1].astype(compute_dtype) \
+        if wt == lx else jnp.zeros((1, 3), compute_dtype)
+    return (srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, xwp, xwt,
+            wp == lx, wt == lx, r_pad)
 
 
 @functools.partial(
@@ -270,13 +304,14 @@ def fused_point_sums(
 def _fused_fwd_impl(src, tgt, bern, thr, phase, ly, lx, compute_dtype,
                     interpret):
     r = src.shape[0]
-    srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, r_pad = _prep(
+    (srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, xwp, xwt, shift_p,
+     shift_t, r_pad) = _prep(
         src, tgt, bern, thr, ly, lx, phase, compute_dtype
     )
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, m_y_p=ly // src.shape[1], m_y_t=ly // tgt.shape[1],
-            compute_dtype=compute_dtype,
+            shift_p=shift_p, shift_t=shift_t, compute_dtype=compute_dtype,
         ),
         out_shape=jax.ShapeDtypeStruct((r_pad, 8), jnp.float32),
         grid=(ly,),
@@ -289,6 +324,8 @@ def _fused_fwd_impl(src, tgt, bern, thr, phase, ly, lx, compute_dtype,
             pl.BlockSpec(wyt.shape, lambda l: (0, 0)),
             pl.BlockSpec(bxp.shape, lambda l: (0, 0)),
             pl.BlockSpec(bxt.shape, lambda l: (0, 0)),
+            pl.BlockSpec((1, 3), lambda l: (0, 0)),
+            pl.BlockSpec((1, 3), lambda l: (0, 0)),
         ],
         out_specs=pl.BlockSpec((r_pad, 8), lambda l: (0, 0)),
         compiler_params=pltpu.CompilerParams(
@@ -296,7 +333,7 @@ def _fused_fwd_impl(src, tgt, bern, thr, phase, ly, lx, compute_dtype,
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt)
+    )(srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, xwp, xwt)
     return out[:r, :]
 
 
@@ -314,7 +351,8 @@ def _fused_fwd(src, tgt, bern, thr, phase, ly, lx, compute_dtype,
 def _fused_bwd(ly, lx, compute_dtype, interpret, residuals, g):
     src, tgt, bern, thr, phase = residuals
     r = src.shape[0]
-    srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, r_pad = _prep(
+    (srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, xwp, xwt, shift_p,
+     shift_t, r_pad) = _prep(
         src, tgt, bern, thr, ly, lx, phase, compute_dtype
     )
     gm = jnp.stack(
@@ -325,7 +363,7 @@ def _fused_bwd(ly, lx, compute_dtype, interpret, residuals, g):
     dsrc = pl.pallas_call(
         functools.partial(
             _bwd_kernel, m_y_p=ly // src.shape[1], m_y_t=ly // tgt.shape[1],
-            compute_dtype=compute_dtype,
+            shift_p=shift_p, shift_t=shift_t, compute_dtype=compute_dtype,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (r_pad, src.shape[1] + 2, src.shape[2]), jnp.float32
@@ -341,6 +379,8 @@ def _fused_bwd(ly, lx, compute_dtype, interpret, residuals, g):
             pl.BlockSpec(bxp.shape, lambda l: (0, 0)),
             pl.BlockSpec(bxt.shape, lambda l: (0, 0)),
             pl.BlockSpec((bxp.shape[1], bxp.shape[0]), lambda l: (0, 0)),
+            pl.BlockSpec((1, 3), lambda l: (0, 0)),
+            pl.BlockSpec((1, 3), lambda l: (0, 0)),
             pl.BlockSpec(gm.shape, lambda l: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
@@ -351,7 +391,7 @@ def _fused_bwd(ly, lx, compute_dtype, interpret, residuals, g):
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, bxp.T, gm)
+    )(srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, bxp.T, xwp, xwt, gm)
     d_src = dsrc[:r, 1:-1, :].astype(src.dtype)
     zeros = lambda x: jnp.zeros_like(x)
     return d_src, zeros(tgt), zeros(bern), zeros(thr), zeros(phase)
