@@ -226,6 +226,22 @@ def _uncertainty_threshold(
     return lo
 
 
+def _fused_point_loss_active(
+    cfg: CriterionConfig, lattice, hp: int, ht: int
+) -> bool:
+    """Static gate for the fused pallas point loss: lattice mode, both
+    maps integer y-upsamples of the lattice, and (in auto mode) a TPU
+    backend."""
+    if lattice is None:
+        return False
+    if lattice[0] % hp != 0 or lattice[0] % ht != 0:
+        return False
+    mode = cfg.fused_point_loss
+    return mode == "on" or (
+        mode == "auto" and jax.default_backend() == "tpu"
+    )
+
+
 def _loss_masks_fused(
     rows_src: jnp.ndarray,  # (R, Hp, Wp) matched prediction logit rows
     rows_tgt: jnp.ndarray,  # (R, Ht, Wt) raw target rows
@@ -314,16 +330,8 @@ def _loss_masks(
     # S~471K, so bf16 halves its bytes; exact f32 otherwise (tests).
     wd = jnp.dtype(cfg.gather_dtype)
 
-    fused_ok = (
-        lattice is not None
-        and rows_tgt is not None
-        and lattice[0] % rows_src.shape[1] == 0
-        and lattice[0] % rows_tgt.shape[1] == 0
-    )
-    mode = cfg.fused_point_loss
-    if fused_ok and (
-        mode == "on"
-        or (mode == "auto" and jax.default_backend() == "tpu")
+    if rows_tgt is not None and _fused_point_loss_active(
+        cfg, lattice, rows_src.shape[1], rows_tgt.shape[1]
     ):
         return _loss_masks_fused(
             rows_src, rows_tgt, pool, bern_wts, keep, num_masks,
@@ -730,7 +738,16 @@ def _criterion_losses(
     loss_kw = dict(
         cfg=cfg, lattice=state["lattice"], rows_tgt=state["rows_tgt"]
     )
-    if save_bytes <= int(2e9):
+    fused = state["rows_tgt"] is not None and _fused_point_loss_active(
+        cfg, state["lattice"], state["masks_stack"].shape[-2],
+        state["rows_tgt"].shape[-2],
+    )
+    if fused:
+        # NO remat: the fused kernel's custom-VJP residuals are just the
+        # small source maps — rematerializing would re-run the forward
+        # kernel inside the backward for nothing
+        loss_fn = functools.partial(_loss_masks, **loss_kw)
+    elif save_bytes <= int(2e9):
         policy = jax.checkpoint_policies.save_only_these_names("pool_src")
         loss_fn = jax.checkpoint(
             functools.partial(_loss_masks, **loss_kw), policy=policy
