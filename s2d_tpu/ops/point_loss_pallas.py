@@ -50,6 +50,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _rows_per_step(ly: int, target: int = 8) -> int:
+    """Largest divisor of Ly <= target: lattice rows per grid step (the
+    per-step pallas overhead amortizes across the unrolled rows)."""
+    for c in range(min(target, ly), 0, -1):
+        if ly % c == 0:
+            return c
+    return 1
+
+
 def x_blend_matrix(w: int, lx: int, phase_x: jnp.ndarray,
                    dtype=jnp.float32) -> jnp.ndarray:
     """(W, Lx) matrix B with B[c, j] = bilinear weight of source column c
@@ -82,6 +91,19 @@ def y_blend_weights(h: int, ly: int, phase_y: jnp.ndarray) -> jnp.ndarray:
     w_p1 = frac * (1.0 - is_m1)
     return jnp.stack([w_m1, w_0, w_p1], axis=1)  # (Ly, 3)
 
+
+
+def _yblend(ref, q, wy_ref, l):
+    """3-row window blend: ref is (R, H + 2, W), zero-padded on the row
+    axis, rows q..q+2 are source rows q-1..q+1. Weights stay (1, 1)
+    vectors — Mosaic has no scalar extraction from vector values."""
+    rows = ref[:, pl.ds(q, 3), :]
+    w = wy_ref[pl.ds(l, 1), :]  # (1, 3)
+    return (
+        rows[:, 0, :] * w[:, 0:1]
+        + rows[:, 1, :] * w[:, 1:2]
+        + rows[:, 2, :] * w[:, 2:3]
+    ), w
 
 
 def _xblend(strip, bx_ref, xw_ref, shift: bool, compute_dtype):
@@ -126,109 +148,98 @@ def _xblend_t(dpv, bxt_ref, xw_ref, shift: bool):
 def _fwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
                 bxp_ref, bxt_ref, xwp_ref, xwt_ref, out_ref, *,
                 m_y_p: int, m_y_t: int, shift_p: bool, shift_t: bool,
-                compute_dtype):
-    l = pl.program_id(0)
-    qp = l // m_y_p
-    qt = l // m_y_t
+                rows_per_step: int, compute_dtype):
+    step = pl.program_id(0)
 
-    def yblend(ref, q, wy_ref):
-        # ref: (R, H + 2, W) zero-padded on the row axis; rows q..q+2 are
-        # source rows q-1..q+1. Weights stay (1, 1) vectors — Mosaic has
-        # no scalar extraction from vector values.
-        rows = ref[:, pl.ds(q, 3), :]
-        w = wy_ref[pl.ds(l, 1), :]  # (1, 3)
-        return (
-            rows[:, 0, :] * w[:, 0:1]
-            + rows[:, 1, :] * w[:, 1:2]
-            + rows[:, 2, :] * w[:, 2:3]
-        )
-
-    sp = yblend(src_ref, qp, wyp_ref)  # (R, Wp) compute dtype
-    st = yblend(tgt_ref, qt, wyt_ref)  # (R, Wt)
-    pv = _xblend(sp, bxp_ref, xwp_ref, shift_p, compute_dtype)  # (R, Lx)
-    tv = _xblend(st, bxt_ref, xwt_ref, shift_t, compute_dtype)
-
-    thr = thr_ref[...]  # (R, 1) f32
-    unc = -jnp.abs(pv)
-    sel = (unc >= thr).astype(compute_dtype)
-    w = bern_ref[0] + sel  # (R, Lx)
-
-    ce = (
-        jnp.maximum(pv, 0.0)
-        - pv * tv
-        + jax.nn.softplus(-jnp.abs(pv))
-    )
-    probs = jax.nn.sigmoid(pv)
-
-    @pl.when(l == 0)
+    @pl.when(step == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    # (R, 8) output, one column per sum — keepdims reductions and column
-    # writes stay 2D throughout (Mosaic dislikes 1D vectors/transposes)
-    def acc(k, x):
-        out_ref[:, k:k + 1] += x.astype(jnp.float32).sum(
-            axis=1, keepdims=True
-        )
+    thr = thr_ref[...]  # (R, 1) f32
 
-    acc(0, ce * w)
-    acc(1, w)
-    acc(2, probs * tv * w)
-    acc(3, probs * w)
-    acc(4, tv * w)
+    # several lattice rows per grid step: the per-step pallas overhead
+    # (semaphores, bookkeeping) amortizes across the unrolled rows
+    for k in range(rows_per_step):
+        l = step * rows_per_step + k
+        qp = l // m_y_p
+        qt = l // m_y_t
+        sp, _ = _yblend(src_ref, qp, wyp_ref, l)  # (R, Wp)
+        st, _ = _yblend(tgt_ref, qt, wyt_ref, l)  # (R, Wt)
+        pv = _xblend(sp, bxp_ref, xwp_ref, shift_p, compute_dtype)
+        tv = _xblend(st, bxt_ref, xwt_ref, shift_t, compute_dtype)
+
+        unc = -jnp.abs(pv)
+        sel = (unc >= thr).astype(compute_dtype)
+        w = bern_ref[k] + sel  # (R, Lx)
+
+        ce = (
+            jnp.maximum(pv, 0.0)
+            - pv * tv
+            + jax.nn.softplus(-jnp.abs(pv))
+        )
+        probs = jax.nn.sigmoid(pv)
+
+        # (R, 8) output, one column per sum — keepdims reductions and
+        # column writes stay 2D throughout (Mosaic dislikes 1D
+        # vectors/transposes)
+        def acc(c, x):
+            out_ref[:, c:c + 1] += x.astype(jnp.float32).sum(
+                axis=1, keepdims=True
+            )
+
+        acc(0, ce * w)
+        acc(1, w)
+        acc(2, probs * tv * w)
+        acc(3, probs * w)
+        acc(4, tv * w)
 
 
 def _bwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
                 bxp_ref, bxt_ref, bxpt_ref, xwp_ref, xwt_ref, g_ref,
                 dsrc_ref, *, m_y_p: int, m_y_t: int, shift_p: bool,
-                shift_t: bool, compute_dtype):
-    l = pl.program_id(0)
-    qp = l // m_y_p
-    qt = l // m_y_t
+                shift_t: bool, rows_per_step: int, compute_dtype):
+    step = pl.program_id(0)
 
-    def yblend(ref, q, wy_ref):
-        rows = ref[:, pl.ds(q, 3), :]
-        w = wy_ref[pl.ds(l, 1), :]  # (1, 3)
-        return (
-            rows[:, 0, :] * w[:, 0:1]
-            + rows[:, 1, :] * w[:, 1:2]
-            + rows[:, 2, :] * w[:, 2:3]
-        ), w
-
-    sp, wp = yblend(src_ref, qp, wyp_ref)
-    st, _ = yblend(tgt_ref, qt, wyt_ref)
-    pv = _xblend(sp, bxp_ref, xwp_ref, shift_p, compute_dtype)
-    tv = _xblend(st, bxt_ref, xwt_ref, shift_t, compute_dtype)
+    @pl.when(step == 0)
+    def _init():
+        dsrc_ref[...] = jnp.zeros_like(dsrc_ref)
 
     thr = thr_ref[...]
-    unc = -jnp.abs(pv)
-    sel = (unc >= thr).astype(compute_dtype)
-    w = bern_ref[0] + sel
-
     # g: (R, 8) cotangents of the per-row sums (column k = sum k);
     # selection weights and the target are stop-gradient
     g_ce = g_ref[:, 0:1].astype(compute_dtype)  # (R, 1)
     g_num = g_ref[:, 2:3].astype(compute_dtype)
     g_ps = g_ref[:, 3:4].astype(compute_dtype)
 
-    probs = jax.lax.logistic(pv.astype(jnp.float32)).astype(compute_dtype)
-    dprobs = probs * (1.0 - probs)
-    dpv = w * (
-        g_ce * (probs - tv) + (g_num * tv + g_ps) * dprobs
-    )  # (R, Lx)
+    for k in range(rows_per_step):
+        l = step * rows_per_step + k
+        qp = l // m_y_p
+        qt = l // m_y_t
+        sp, wp = _yblend(src_ref, qp, wyp_ref, l)
+        st, _ = _yblend(tgt_ref, qt, wyt_ref, l)
+        pv = _xblend(sp, bxp_ref, xwp_ref, shift_p, compute_dtype)
+        tv = _xblend(st, bxt_ref, xwt_ref, shift_t, compute_dtype)
 
-    dsp = _xblend_t(dpv, bxpt_ref, xwp_ref, shift_p)  # (R, Wp)
+        unc = -jnp.abs(pv)
+        sel = (unc >= thr).astype(compute_dtype)
+        w = bern_ref[k] + sel
 
-    @pl.when(l == 0)
-    def _init():
-        dsrc_ref[...] = jnp.zeros_like(dsrc_ref)
+        probs = jax.lax.logistic(
+            pv.astype(jnp.float32)
+        ).astype(compute_dtype)
+        dprobs = probs * (1.0 - probs)
+        dpv = w * (
+            g_ce * (probs - tv) + (g_num * tv + g_ps) * dprobs
+        )  # (R, Lx)
 
-    # scatter the 3-row y-window back: rows q..q+2 of the padded block
-    cur = dsrc_ref[:, pl.ds(qp, 3), :]
-    upd = jnp.stack(
-        [dsp * wp[:, 0:1], dsp * wp[:, 1:2], dsp * wp[:, 2:3]], axis=1
-    )  # (R, 3, Wp)
-    dsrc_ref[:, pl.ds(qp, 3), :] = cur + upd.astype(jnp.float32)
+        dsp = _xblend_t(dpv, bxpt_ref, xwp_ref, shift_p)  # (R, Wp)
+
+        # scatter the 3-row y-window back: rows q..q+2 of the padded block
+        cur = dsrc_ref[:, pl.ds(qp, 3), :]
+        upd = jnp.stack(
+            [dsp * wp[:, 0:1], dsp * wp[:, 1:2], dsp * wp[:, 2:3]], axis=1
+        )  # (R, 3, Wp)
+        dsrc_ref[:, pl.ds(qp, 3), :] = cur + upd.astype(jnp.float32)
 
 
 def _prep(src, tgt, bern, thr, ly, lx, phase, compute_dtype):
@@ -308,26 +319,28 @@ def _fused_fwd_impl(src, tgt, bern, thr, phase, ly, lx, compute_dtype,
      shift_t, r_pad) = _prep(
         src, tgt, bern, thr, ly, lx, phase, compute_dtype
     )
+    rps = _rows_per_step(ly)
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, m_y_p=ly // src.shape[1], m_y_t=ly // tgt.shape[1],
-            shift_p=shift_p, shift_t=shift_t, compute_dtype=compute_dtype,
+            shift_p=shift_p, shift_t=shift_t, rows_per_step=rps,
+            compute_dtype=compute_dtype,
         ),
         out_shape=jax.ShapeDtypeStruct((r_pad, 8), jnp.float32),
-        grid=(ly,),
+        grid=(ly // rps,),
         in_specs=[
             pl.BlockSpec(srcp.shape, lambda l: (0, 0, 0)),
             pl.BlockSpec(tgtp.shape, lambda l: (0, 0, 0)),
-            pl.BlockSpec((1, r_pad, lx), lambda l: (l, 0, 0)),
-            pl.BlockSpec((r_pad, 1), lambda l: (0, 0)),
-            pl.BlockSpec(wyp.shape, lambda l: (0, 0)),
-            pl.BlockSpec(wyt.shape, lambda l: (0, 0)),
-            pl.BlockSpec(bxp.shape, lambda l: (0, 0)),
-            pl.BlockSpec(bxt.shape, lambda l: (0, 0)),
-            pl.BlockSpec((1, 3), lambda l: (0, 0)),
-            pl.BlockSpec((1, 3), lambda l: (0, 0)),
+            pl.BlockSpec((rps, r_pad, lx), lambda i: (i, 0, 0)),
+            pl.BlockSpec((r_pad, 1), lambda i: (0, 0)),
+            pl.BlockSpec(wyp.shape, lambda i: (0, 0)),
+            pl.BlockSpec(wyt.shape, lambda i: (0, 0)),
+            pl.BlockSpec(bxp.shape, lambda i: (0, 0)),
+            pl.BlockSpec(bxt.shape, lambda i: (0, 0)),
+            pl.BlockSpec((1, 3), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((r_pad, 8), lambda l: (0, 0)),
+        out_specs=pl.BlockSpec((r_pad, 8), lambda i: (0, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -360,31 +373,33 @@ def _fused_bwd(ly, lx, compute_dtype, interpret, residuals, g):
         axis=1,
     )  # (R, 8)
     gm = jnp.pad(gm, ((0, r_pad - r), (0, 0)))
+    rps = _rows_per_step(ly)
     dsrc = pl.pallas_call(
         functools.partial(
             _bwd_kernel, m_y_p=ly // src.shape[1], m_y_t=ly // tgt.shape[1],
-            shift_p=shift_p, shift_t=shift_t, compute_dtype=compute_dtype,
+            shift_p=shift_p, shift_t=shift_t, rows_per_step=rps,
+            compute_dtype=compute_dtype,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (r_pad, src.shape[1] + 2, src.shape[2]), jnp.float32
         ),
-        grid=(ly,),
+        grid=(ly // rps,),
         in_specs=[
             pl.BlockSpec(srcp.shape, lambda l: (0, 0, 0)),
             pl.BlockSpec(tgtp.shape, lambda l: (0, 0, 0)),
-            pl.BlockSpec((1, r_pad, lx), lambda l: (l, 0, 0)),
-            pl.BlockSpec((r_pad, 1), lambda l: (0, 0)),
-            pl.BlockSpec(wyp.shape, lambda l: (0, 0)),
-            pl.BlockSpec(wyt.shape, lambda l: (0, 0)),
-            pl.BlockSpec(bxp.shape, lambda l: (0, 0)),
-            pl.BlockSpec(bxt.shape, lambda l: (0, 0)),
-            pl.BlockSpec((bxp.shape[1], bxp.shape[0]), lambda l: (0, 0)),
-            pl.BlockSpec((1, 3), lambda l: (0, 0)),
-            pl.BlockSpec((1, 3), lambda l: (0, 0)),
-            pl.BlockSpec(gm.shape, lambda l: (0, 0)),
+            pl.BlockSpec((rps, r_pad, lx), lambda i: (i, 0, 0)),
+            pl.BlockSpec((r_pad, 1), lambda i: (0, 0)),
+            pl.BlockSpec(wyp.shape, lambda i: (0, 0)),
+            pl.BlockSpec(wyt.shape, lambda i: (0, 0)),
+            pl.BlockSpec(bxp.shape, lambda i: (0, 0)),
+            pl.BlockSpec(bxt.shape, lambda i: (0, 0)),
+            pl.BlockSpec((bxp.shape[1], bxp.shape[0]), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3), lambda i: (0, 0)),
+            pl.BlockSpec(gm.shape, lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (r_pad, src.shape[1] + 2, src.shape[2]), lambda l: (0, 0, 0)
+            (r_pad, src.shape[1] + 2, src.shape[2]), lambda i: (0, 0, 0)
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
