@@ -8,32 +8,106 @@ vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
 denominator is an estimated A100 throughput for the reference PyTorch
 whole-video forward at the same protocol (see ESTIMATED_A100_FPS below) so
 the ratio is comparable across rounds. The north-star target is >=5x.
+
+Robustness: the remote (axon) TPU backend can be unavailable or hang during
+init. The parent process first probes backend init in a SUBPROCESS with a
+bounded timeout (retrying), then runs the measurement in a subprocess too;
+any failure path still prints one well-formed JSON line and exits 0 so the
+driver always records a result instead of an rc=1.
 """
 import json
 import os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from s2d_tpu.utils.jax_setup import enable_compilation_cache
-
-enable_compilation_cache()
 
 # Reference protocol throughput on A100 (frames/sec): estimated from the
 # reference's single-forward whole-clip demo path (R50 + 6-layer deformable
 # encoder + 9-layer video decoder at 360x640, AMP fp16). No published number
 # exists in the repo; this constant documents the assumed denominator.
+# Sensitivity/grounding: see PERFORMANCE.md "baseline denominator".
 ESTIMATED_A100_FPS = 25.0
 
 T = 8  # frames per clip forward
 IN_H, IN_W = 360, 640
 OUT_H, OUT_W = 720, 1280
 
+PROBE_TIMEOUT_S = int(os.environ.get("S2D_BENCH_PROBE_TIMEOUT", 300))
+PROBE_ATTEMPTS = int(os.environ.get("S2D_BENCH_PROBE_ATTEMPTS", 3))
+RUN_TIMEOUT_S = int(os.environ.get("S2D_BENCH_RUN_TIMEOUT", 3000))
 
-def main():
+
+def emit(value, vs_baseline, **extra):
+    line = {
+        "metric": "video_frames_per_sec_per_chip",
+        "value": value,
+        "unit": "frames/s",
+        "vs_baseline": vs_baseline,
+    }
+    line.update(extra)
+    print(json.dumps(line))
+    sys.stdout.flush()
+
+
+def probe_backend():
+    """Probe jax backend init in a subprocess; returns (ok, detail)."""
+    code = (
+        "import jax; d = jax.devices(); "
+        "print('PROBE_OK', jax.default_backend(), len(d))"
+    )
+    last = ""
+    for attempt in range(PROBE_ATTEMPTS):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=PROBE_TIMEOUT_S,
+            )
+            for ln in r.stdout.splitlines():
+                if ln.startswith("PROBE_OK"):
+                    return True, ln.strip()
+            last = (r.stderr or r.stdout or "").strip()[-300:]
+        except subprocess.TimeoutExpired:
+            last = f"backend init hang >{PROBE_TIMEOUT_S}s"
+        except Exception as e:  # pragma: no cover - defensive
+            last = f"{type(e).__name__}: {e}"
+        if attempt + 1 < PROBE_ATTEMPTS:
+            time.sleep(20)
+    return False, last
+
+
+def run_measurement():
+    """Run the real bench (this file with --inner) in a subprocess."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            capture_output=True,
+            text=True,
+            timeout=RUN_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"measurement timed out after {RUN_TIMEOUT_S}s"
+    for ln in reversed(r.stdout.splitlines()):
+        ln = ln.strip()
+        if ln.startswith("{"):
+            try:
+                return json.loads(ln), None
+            except json.JSONDecodeError:
+                pass
+    tail = (r.stderr or r.stdout or "").strip()[-500:]
+    return None, f"rc={r.returncode}: {tail}"
+
+
+def inner():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from s2d_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from s2d_tpu.config import Config
     from s2d_tpu.models import build_model, preprocess_clip
     from s2d_tpu.evaluation.inference import postprocess_video
@@ -82,7 +156,7 @@ def main():
     out = full(variables, images)
     _ = float(out["scores"][0])
 
-    iters = 10
+    iters = 10 if on_tpu else 2  # CPU fallback: keep wall-clock bounded
     start = time.perf_counter()
     for _ in range(iters):
         out = full(variables, images)
@@ -91,17 +165,23 @@ def main():
     assert checksum == checksum  # NaN guard on the forced read
 
     fps = (iters * T) / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "video_frames_per_sec_per_chip",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / ESTIMATED_A100_FPS, 3),
-            }
-        )
-    )
+    emit(round(fps, 2), round(fps / ESTIMATED_A100_FPS, 3), backend=jax.default_backend())
+
+
+def main():
+    ok, detail = probe_backend()
+    if not ok:
+        emit(0.0, 0.0, error=f"jax backend unavailable: {detail}")
+        return
+    result, err = run_measurement()
+    if result is None:
+        emit(0.0, 0.0, error=f"bench failed: {err}", probe=detail)
+        return
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        inner()
+    else:
+        main()
