@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import hashlib
 from typing import Protocol, Tuple
 
 import jax
@@ -47,10 +48,11 @@ class DeviceVideoCache:
     call. Caching the converted device array amortizes that to once per
     video.
 
-    Keyed by (buffer address, shape, dtype, strided checksum): the
-    checksum catches a recycled buffer address or in-place edits of the
-    sampled pixels; in-place mutation that leaves every 64th pixel of
-    every frame untouched is outside the contract."""
+    Keyed by (buffer address, shape, dtype, strided digest): the digest is
+    an order-sensitive hash of the sampled bytes (not a permutation-
+    invariant sum — a recycled buffer with reordered frames must miss);
+    in-place mutation that leaves every 64th pixel of every frame
+    untouched is outside the contract."""
 
     def __init__(self, convert):
         self._convert = convert  # np.ndarray -> device array
@@ -59,12 +61,12 @@ class DeviceVideoCache:
 
     @staticmethod
     def _fingerprint(video: np.ndarray):
-        sample = video[:, ::64, ::64]
+        sample = np.ascontiguousarray(video[:, ::64, ::64])
         return (
             video.__array_interface__["data"][0],
             video.shape,
             str(video.dtype),
-            float(sample.sum(dtype=np.float64)),
+            hashlib.blake2b(sample.tobytes(), digest_size=16).hexdigest(),
         )
 
     def get(self, video: np.ndarray):

@@ -91,8 +91,11 @@ class CriterionConfig:
     # threshold then comes from a coarse SUB-LATTICE (column-striding a
     # lattice is a smaller lattice with scaled phase) instead of the
     # strided-flat subsample — a different unbiased estimate of the same
-    # quantile.
-    fused_point_loss: str = "auto"
+    # quantile. Default "off" until the Mosaic lowering has an on-chip
+    # (non-interpret) parity run — interpret mode previously missed an i1
+    # lowering bug, so "auto" must not gate an unvalidated kernel into
+    # every TPU training run.
+    fused_point_loss: str = "off"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -205,7 +208,7 @@ def _uncertainty_threshold(
     caller passes a strided subsample instead."""
     s = values.shape[-1]
     if s < 8192:
-        return jax.lax.top_k(values, k)[0][..., -1:]
+        return jax.lax.top_k(values, min(k, s))[0][..., -1:]
     if sub is None:
         sub = values[..., : min(subsample, s)]
     k_sub = k * (sub.shape[-1] / s)
@@ -282,7 +285,10 @@ def _loss_masks_fused(
             rows_src.astype(wd), ly, sub_lx, sub_phase
         ).reshape(r, -1)
         sub_unc = -jnp.abs(jax.lax.stop_gradient(sub))
-        k_eff = max(1, int(num_uncertain * (ly * sub_lx) / s))
+        # num_uncertain is nominal-budget-based; the realized lattice pool
+        # can be smaller, so clamp to the sub-lattice length or the scaled
+        # k can exceed the row and top_k fails at trace time
+        k_eff = max(1, min(int(num_uncertain * (ly * sub_lx) / s), ly * sub_lx))
         thr = _uncertainty_threshold(sub_unc, k_eff, sub=sub_unc)[:, 0]
     else:
         thr = jnp.full((r,), 3.0e38, jnp.float32)
@@ -377,9 +383,14 @@ def _loss_masks(
         if lattice is not None and s >= 8192:
             # a lattice pool's PREFIX is a spatial band, not a
             # representative subsample — stride across the row-major
-            # flattening instead (hits every image row, every `stride`-th
-            # column; the uncertainty field is what the quantile is of)
+            # flattening instead. The stride must be coprime with Lx or
+            # the strided walk collapses onto a periodic column subset
+            # (re-introducing spatial-band bias); bump until gcd == 1.
+            import math
+
             stride = max(1, s // 32768)
+            while stride > 1 and math.gcd(stride, lattice[1]) != 1:
+                stride += 1
             sub = uncertainty[..., ::stride]
         thr = _uncertainty_threshold(uncertainty, num_uncertain, sub=sub)
         wts = wts + (uncertainty >= thr).astype(wd)

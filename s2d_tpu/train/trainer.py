@@ -112,9 +112,11 @@ def make_train_step(
     teacher_model: VideoMaskFormer | None = None,
 ):
     """`teacher_model` optionally swaps the module used for the no-grad
-    teacher forward (same param tree): the TPU trainer passes a variant with
-    the pallas MSDA kernel, which has no backward but runs the deformable
-    encoder ~2x faster — the student keeps the differentiable XLA path."""
+    teacher forward (same param tree), decoupling teacher/student MSDA
+    implementation choices. The pallas MSDA kernel is differentiable
+    (transposed-kernel custom VJP in ops/ms_deform_attn_pallas.py), so the
+    train CLI can run BOTH on it under AMP; the XLA row-gather path remains
+    the fp32/CPU parity reference."""
     if teacher_model is None:
         teacher_model = model
     mf = cfg.model.mask_former
