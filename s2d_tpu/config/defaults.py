@@ -176,6 +176,9 @@ class SolverConfig:
     gamma: float = 0.1
     lr_scheduler_name: str = "WarmupMultiStepLR"
     reference_world_size: int = 0
+    # SOLVER.CHECKPOINT_PERIOD (reference engine/defaults.py:519-565:
+    # PeriodicCheckpointer)
+    checkpoint_period: int = 5000
     # remat the deformable encoder layers during training (recompute in the
     # backward pass): trades ~1 extra encoder forward for the activation
     # HBM that otherwise OOMs the full R50 KD step on a 16G chip

@@ -79,8 +79,16 @@ def train_loader(
     num_shards: int = 1,
     shard_index: int = 0,
     prefetch: int = 2,
+    batch_transform=None,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Infinite iterator of collated global batches for this host's shard."""
+    """Infinite iterator of collated global batches for this host's shard.
+
+    `batch_transform(samples: List[dict]) -> List[dict]` runs on the raw
+    sample list before collation — the hook the video copy-paste
+    augmentation uses (reference applies it inside run_step on the
+    uncollated batch, `mask2former_video/engine/train_loop.py:703`; here
+    it runs on the loader thread so the augmentation overlaps device
+    compute)."""
     rng = np.random.RandomState(seed)
 
     def sample_stream():
@@ -95,9 +103,10 @@ def train_loader(
     def batch_stream():
         stream = sample_stream()
         while True:
-            yield collate_clips(
-                list(itertools.islice(stream, batch_size)), pixel_mean, pixel_std
-            )
+            samples = list(itertools.islice(stream, batch_size))
+            if batch_transform is not None:
+                samples = batch_transform(samples)
+            yield collate_clips(samples, pixel_mean, pixel_std)
 
     return _prefetch(batch_stream(), prefetch)
 

@@ -45,7 +45,13 @@ class CutlerTrainerConfig:
     min_size_train: int = 480
     max_instances: int = 32
     flip: bool = True
+    # image copy-paste (reference cutler/config/cutler_config.py:6-11,
+    # applied per step in cutler/engine/train_loop.py run_step)
     copy_paste: bool = False
+    copy_paste_rate: float = 1.0
+    copy_paste_min_ratio: float = 0.5
+    copy_paste_max_ratio: float = 1.0
+    copy_paste_random_num: bool = True
     # solver (reference cutler Base config: SGD, momentum 0.9)
     base_lr: float = 0.01
     momentum: float = 0.9
@@ -144,11 +150,15 @@ def cascade_detections(
     score_thresh: float,
     nms_thresh: float,
     topk: int,
+    with_masks: bool = False,
 ):
     """Cascade R-CNN inference (d2 CascadeROIHeads): per-proposal class
     probability = MEAN of the softmaxed scores over the 3 stages; boxes are
     the final refined boxes. Fixed shape: returns (boxes (K,4), scores (K,),
-    classes (K,), valid (K,)) with K = topk."""
+    classes (K,), valid (K,)) with K = topk; `with_masks` appends the
+    selected detections' mask-head probabilities (K, 2s, 2s) — pasted into
+    the image on the host (reference d2 mask paste + COCO segm eval,
+    `cutler/evaluation/coco_evaluation.py` when TEST.NO_SEGM=False)."""
     probs = jnp.mean(
         jnp.stack(
             [jax.nn.softmax(s["scores"].astype(jnp.float32), -1)
@@ -165,7 +175,41 @@ def cascade_detections(
     k = min(topk, scores.shape[0])
     top_scores, idx = jax.lax.top_k(scores, k)
     valid = jnp.isfinite(top_scores)
-    return boxes[idx], jnp.where(valid, top_scores, 0.0), classes[idx], valid
+    result = (boxes[idx], jnp.where(valid, top_scores, 0.0), classes[idx], valid)
+    if with_masks:
+        if out.get("mask_logits") is None:
+            raise ValueError("with_masks=True requires a mask head (mask_on)")
+        result = result + (jax.nn.sigmoid(out["mask_logits"][idx]),)
+    return result
+
+
+def paste_masks(
+    masks: np.ndarray,  # (K, m, m) probabilities in the box frame
+    boxes: np.ndarray,  # (K, 4) xyxy in output-image coordinates
+    out_hw: Tuple[int, int],
+    thresh: float = 0.5,
+) -> np.ndarray:
+    """Host-side d2-style mask paste: resize each box-frame mask to its box
+    and threshold into the full image canvas. Returns (K, H, W) bool."""
+    import cv2
+
+    h, w = out_hw
+    out = np.zeros((masks.shape[0], h, w), bool)
+    for i, (m, b) in enumerate(zip(masks, boxes)):
+        x0, y0, x1, y1 = b
+        x0i, y0i = int(np.floor(x0)), int(np.floor(y0))
+        x1i, y1i = int(np.ceil(x1)), int(np.ceil(y1))
+        bw, bh = max(x1i - x0i, 1), max(y1i - y0i, 1)
+        resized = cv2.resize(m.astype(np.float32), (bw, bh),
+                             interpolation=cv2.INTER_LINEAR) >= thresh
+        sx0, sy0 = max(0, -x0i), max(0, -y0i)
+        dx0, dy0 = max(0, x0i), max(0, y0i)
+        dx1, dy1 = min(w, x1i), min(h, y1i)
+        if dx1 > dx0 and dy1 > dy0:
+            out[i, dy0:dy1, dx0:dx1] = resized[
+                sy0:sy0 + (dy1 - dy0), sx0:sx0 + (dx1 - dx0)
+            ]
+    return out
 
 
 # ---------------------------------------------------------------- mapper

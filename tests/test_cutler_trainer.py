@@ -123,12 +123,57 @@ def test_train_net_cli_e2e(synthetic_coco, tmp_path):
     ]
     assert main(argv) == 0
     assert os.path.exists(os.path.join(out, "metrics.json"))
-    # eval-only over the same output dir exercises detection + box AP
+    # eval-only over the same output dir exercises detection + box AND
+    # segm AP (reference COCO evaluator scores masks when NO_SEGM=False)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main([
+            "--eval-only",
+            "--test-dataset", "synthetic_train",
+            "--output-dir", out,
+            "--image-size", "64",
+            "--max-instances", "4",
+            "--num-proposals", "16",
+        ]) == 0
+    printed = buf.getvalue()
+    assert "bbox/AP" in printed and "segm/AP" in printed
+    # --no-segm skips the mask task (reference TEST.NO_SEGM)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main([
+            "--eval-only", "--no-segm",
+            "--test-dataset", "synthetic_train",
+            "--output-dir", out,
+            "--image-size", "64",
+            "--max-instances", "4",
+            "--num-proposals", "16",
+        ]) == 0
+    printed = buf.getvalue()
+    assert "bbox/AP" in printed and "segm/AP" not in printed
+
+
+def test_train_net_cli_copy_paste(synthetic_coco, tmp_path):
+    """--copy-paste applies the image copy-paste augmentation per step
+    (reference cutler/engine/train_loop.py run_step)."""
+    from s2d_tpu.data.coco import register_coco
+    from tools.train_net import main
+
+    json_path, img_dir = synthetic_coco
+    register_coco("synthetic_train_cp", json_path, img_dir, class_agnostic=True)
+    out = str(tmp_path / "out_cp")
     assert main([
-        "--eval-only",
-        "--test-dataset", "synthetic_train",
+        "--train-dataset", "synthetic_train_cp",
+        "--test-dataset", "synthetic_train_cp",
         "--output-dir", out,
+        "--max-iter", "2",
         "--image-size", "64",
         "--max-instances", "4",
         "--num-proposals", "16",
+        "--copy-paste", "--copy-paste-rate", "1.0",
+        "--max-images", "1",
     ]) == 0
+    lines = [json.loads(l) for l in open(os.path.join(out, "metrics.json"))]
+    assert len(lines) == 2 and np.isfinite(lines[-1]["total_loss"])

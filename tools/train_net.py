@@ -28,6 +28,9 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-segm", action="store_true",
                    help="skip mask head training/eval (reference TEST.NO_SEGM)")
+    p.add_argument("--copy-paste", action="store_true",
+                   help="image copy-paste augmentation (DATALOADER.COPY_PASTE)")
+    p.add_argument("--copy-paste-rate", type=float, default=None)
     p.add_argument("--output-dir", default="./output_cutler")
     p.add_argument("--max-iter", type=int, default=None)
     p.add_argument("--max-images", type=int, default=None, help="cap eval images")
@@ -68,6 +71,10 @@ def main(argv=None):
     if args.num_proposals:
         rcnn_over["num_proposals"] = args.num_proposals
     over = {"no_segm": args.no_segm, "rcnn": CutlerConfig(**rcnn_over)}
+    if args.copy_paste:
+        over["copy_paste"] = True
+    if args.copy_paste_rate is not None:
+        over["copy_paste_rate"] = args.copy_paste_rate
     if args.max_iter is not None:
         over["max_iter"] = args.max_iter
     if args.image_size is not None:
@@ -106,11 +113,28 @@ def main(argv=None):
         logger = MetricLogger(args.output_dir)
         rng = np.random.RandomState(0)
         it = start
+        prev_sample = None  # copy-paste source: the previous mapped image
         while it < cfg.max_iter:
             record = dicts[rng.randint(len(dicts))]
             s = map_image_record(record, cfg, rng, is_train=True)
             if s is None:
                 continue
+            if cfg.copy_paste:
+                # reference pairs each batch member with the reversed batch
+                # (cutler/engine/train_loop.py run_step), sources deepcopied
+                # pre-paste; this single-image loop pairs with the PREVIOUS
+                # unmodified image — same "another random training image"
+                # source distribution
+                from s2d_tpu.data.copy_paste import copy_paste_image
+
+                src, prev_sample = prev_sample, s
+                if src is not None:
+                    s = copy_paste_image(
+                        rng, s, src, rate=cfg.copy_paste_rate,
+                        min_ratio=cfg.copy_paste_min_ratio,
+                        max_ratio=cfg.copy_paste_max_ratio,
+                        random_num=cfg.copy_paste_random_num,
+                    )
             params, opt_state, metrics = step_fn(
                 params, opt_state,
                 jnp.asarray(s["image"])[None],
@@ -128,7 +152,15 @@ def main(argv=None):
             params, _ = restore_checkpoint(ckpt_dir, (params, tx.init(params)), step)
             print(f"Loaded checkpoint step {step}")
 
-    # ---- evaluation (box AP; reference COCOEvaluator w/ no_segm) ----
+    # ---- evaluation: box AP + (unless --no-segm) mask AP — the reference
+    # COCO evaluator scores both tasks when TEST.NO_SEGM=False
+    # (cutler/evaluation/coco_evaluation.py) ----
+    from s2d_tpu.data import rle as rle_codec
+    from s2d_tpu.data.rle import polygons_to_mask
+    from s2d_tpu.evaluation.ytvos_eval import evaluate_detections_masks
+    from s2d_tpu.train.cutler_trainer import paste_masks
+
+    do_segm = cfg.rcnn.mask_on and not cfg.no_segm
     dicts, meta = get_coco_dataset(args.test_dataset)
     if args.max_images:
         dicts = dicts[: args.max_images]
@@ -139,24 +171,35 @@ def main(argv=None):
         out = model.apply(params, image)
         return cascade_detections(
             out, cfg.rcnn.num_classes, cfg.score_thresh,
-            cfg.nms_thresh, cfg.detections_per_image,
+            cfg.nms_thresh, cfg.detections_per_image, with_masks=do_segm,
         )
 
     gts, preds = [], []
+    gt_masks, pred_masks = [], []
     for record in dicts:
         s = map_image_record(record, cfg, is_train=False)
         if s is None:
             continue
-        boxes, scores, classes, valid = infer(params, jnp.asarray(s["image"])[None])
-        boxes = np.asarray(boxes) / s["scale"]
-        scores, classes = np.asarray(scores), np.asarray(classes)
-        for b, sc, cl, v in zip(boxes, scores, classes, np.asarray(valid)):
-            if v:
-                preds.append({
-                    "image_id": record["image_id"],
-                    "category_id": int(cl),
-                    "bbox": [float(x) for x in b],
-                    "score": float(sc),
+        det = infer(params, jnp.asarray(s["image"])[None])
+        boxes, scores, classes, valid = (np.asarray(x) for x in det[:4])
+        boxes = boxes / s["scale"]
+        masks_k = None
+        if do_segm:
+            masks_k = paste_masks(np.asarray(det[4]), boxes, s["orig_hw"])
+        for di, (b, sc, cl, v) in enumerate(zip(boxes, scores, classes, valid)):
+            if not v:
+                continue
+            entry = {
+                "image_id": record["image_id"],
+                "category_id": int(cl),
+                "bbox": [float(x) for x in b],
+                "score": float(sc),
+            }
+            preds.append(entry)
+            if do_segm:
+                pred_masks.append({
+                    **{k: entry[k] for k in ("image_id", "category_id", "score")},
+                    "segmentation": rle_codec.encode(masks_k[di]),
                 })
         for ann in record.get("annotations", []):
             gts.append({
@@ -165,7 +208,30 @@ def main(argv=None):
                 "bbox": ann["bbox"],
                 "iscrowd": ann.get("iscrowd", 0),
             })
-    metrics = evaluate_detections_boxes(gts, preds, use_cats=num_classes > 1)
+            if do_segm and ann.get("segmentation") is not None:
+                seg = ann["segmentation"]
+                if not isinstance(seg, dict):
+                    seg = rle_codec.encode(polygons_to_mask(
+                        seg, record["height"], record["width"]).astype(bool))
+                gt_masks.append({
+                    "image_id": record["image_id"],
+                    "category_id": ann["category_id"],
+                    "segmentation": seg,
+                    "iscrowd": ann.get("iscrowd", 0),
+                })
+    metrics = {
+        f"bbox/{k}": v
+        for k, v in evaluate_detections_boxes(
+            gts, preds, use_cats=num_classes > 1
+        ).items()
+    }
+    if do_segm:
+        metrics.update({
+            f"segm/{k}": v
+            for k, v in evaluate_detections_masks(
+                gt_masks, pred_masks, use_cats=num_classes > 1
+            ).items()
+        })
     print(f"[{args.test_dataset}] " + "  ".join(
         f"{k}: {v:.4f}" for k, v in metrics.items()
     ))

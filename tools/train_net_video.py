@@ -106,12 +106,32 @@ def main(argv=None):
             model = build_model(cfg, msda_impl="pallas", flash_cross_attention=True)
             model_short = build_model(cfg, msda_impl="pallas")
         eval_vars = student if cfg.model.mask_former.test.eval_student else teacher
+        nshards, shard = jax.process_count(), jax.process_index()
         for dataset_name in cfg.datasets.test:
             metrics = evaluate_dataset(
                 cfg, model, eval_vars, dataset_name,
                 output_dir=cfg.output_dir, max_videos=args.max_videos,
                 model_short=model_short,
+                num_shards=nshards, shard_index=shard,
             )
+            if nshards > 1:
+                # per-host shards land on the shared FS; host 0 merges and
+                # scores the full set after a cross-host barrier (the
+                # reference's comm.gather of predictions)
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(f"eval:{dataset_name}")
+                if shard != 0:
+                    continue
+                from s2d_tpu.evaluation.evaluator import (
+                    merge_shard_results,
+                    score_results,
+                )
+
+                results = merge_shard_results(cfg.output_dir, nshards)
+                metrics = score_results(
+                    dataset_name, results, max_videos=args.max_videos
+                )
             print(f"[{dataset_name}] " + "  ".join(
                 f"{k}: {v:.4f}" for k, v in metrics.items()
             ))
@@ -169,20 +189,70 @@ def main(argv=None):
         dicts.extend(d)
     mapper = ClipMapper(MapperConfig.from_config(cfg, is_train=True),
                         is_train=True, seed=max(cfg.seed, 0))
+    batch_transform = None
+    if cfg.dataloader.copy_paste:
+        # reference applies clip copy-paste on every uncollated batch when
+        # DATALOADER.COPY_PASTE is on (train_loop.py:703); densify-sparse
+        # swaps pasting for forward-filling (train_loop.py:433-439)
+        from s2d_tpu.data.copy_paste import apply_clip_copy_paste
+
+        cp_rng = np.random.RandomState(max(cfg.seed, 0) + 7)
+        dl = cfg.dataloader
+        batch_transform = lambda samples: apply_clip_copy_paste(
+            samples, cp_rng, rate=dl.copy_paste_rate,
+            random_num=dl.copy_paste_random_num,
+            min_ratio=dl.copy_paste_min_ratio,
+            max_ratio=dl.copy_paste_max_ratio,
+            densify_sparse=dl.copy_paste_densify_sparse,
+        )
     loader = train_loader(
         dicts, mapper, cfg.solver.ims_per_batch,
         cfg.model.pixel_mean, cfg.model.pixel_std,
         seed=max(cfg.seed, 0),
         num_shards=jax.process_count(), shard_index=jax.process_index(),
+        batch_transform=batch_transform,
     )
+
+    def run_eval(eval_state, step):
+        """EvalHook body (reference engine/defaults.py:519-565): score every
+        test dataset with the current params and return prefixed metrics."""
+        eval_vars = (
+            eval_state.params
+            if cfg.model.mask_former.test.eval_student
+            else eval_state.teacher_params
+        )
+        eval_vars = jax.device_get(eval_vars)
+        out = {}
+        for dataset_name in cfg.datasets.test:
+            m = evaluate_dataset(
+                cfg, model, eval_vars, dataset_name,
+                output_dir=os.path.join(cfg.output_dir, f"inference_{step}"),
+                max_videos=args.max_videos,
+            )
+            print(f"[eval @{step}] [{dataset_name}] " + "  ".join(
+                f"{k}: {v:.4f}" for k, v in m.items()
+            ))
+            out.update({f"{dataset_name}/{k}": v for k, v in m.items()})
+        return out
 
     logger = MetricLogger(cfg.output_dir)
     train_rng = jax.random.PRNGKey(max(cfg.seed, 0) + 1)
+    # resume continues from the stored iteration (reference
+    # engine/defaults.py:450-473: start_iter = checkpointer iteration):
+    # `state.step` counts executed train steps, so LR/EMA/weight schedules
+    # and the loop bound stay consistent across restarts
+    start_iter = int(jax.device_get(state.step))
+    ckpt_period = max(cfg.solver.checkpoint_period, 1)
+    eval_period = cfg.test.eval_period
+    loader_iter = iter(loader)
+    from s2d_tpu.utils.profiling import StepTimer
+
+    timer = StepTimer()
     with mesh:
         state = replicate(mesh, state)
-        for it, batch in enumerate(loader):
-            if it >= cfg.solver.max_iter:
-                break
+        for it in range(start_iter, cfg.solver.max_iter):
+            batch = next(loader_iter)
+            timer.data_done()
             images, masks, valid = shard_batch(
                 mesh, (batch["images"], batch["masks"], batch["valid"])
             )
@@ -196,9 +266,16 @@ def main(argv=None):
                 )
             else:
                 state, metrics = step_fn(state, images, masks, valid, train_rng)
-            logger.log(it, {k: float(v) for k, v in metrics.items()})
-            if (it + 1) % 5000 == 0 or (it + 1) == cfg.solver.max_iter:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            timer.step_done()
+            metrics.update(timer.metrics())
+            logger.log(it, metrics)
+            done = (it + 1) == cfg.solver.max_iter
+            if (it + 1) % ckpt_period == 0 or done:
                 save_checkpoint(ckpt_dir, it + 1, state)
+            if eval_period > 0 and ((it + 1) % eval_period == 0 or done):
+                logger.log(it, run_eval(state, it + 1))
+                timer = StepTimer()  # eval time must not count as data time
     return 0
 
 
