@@ -26,10 +26,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 # This jax build ignores config env vars (JAX_PLATFORMS and the compilation
 # cache family); jax.config.update is authoritative. Must run before any
-# backend initialization.
+# backend initialization. force_cpu() keys the cache dir on this host's own
+# CPU-flag fingerprint so a migrated host never loads foreign machine code.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+from s2d_tpu.utils import jax_setup  # noqa: E402
+
+jax_setup.force_cpu()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -48,6 +48,44 @@ def predictions_to_results(
     return results
 
 
+def collect_gt(dicts: List[dict]) -> List[dict]:
+    """Ground-truth track entries for ytvos_eval (category ids 1-based)."""
+    gt = []
+    for record in dicts:
+        for o in record["annotations"]:
+            gt.append(
+                {
+                    "video_id": record["video_id"],
+                    "category_id": o["category_id"] + 1,
+                    "segmentations": o["segmentations"],
+                }
+            )
+    return gt
+
+
+def merge_shard_results(output_dir: str, num_shards: int) -> List[dict]:
+    """Concatenate per-host shard result files (the reference's comm.gather
+    of predictions, `ytvis_eval.py` evaluate(), becomes a file merge)."""
+    results: List[dict] = []
+    for i in range(num_shards):
+        with open(os.path.join(output_dir, f"results_shard{i}.json")) as f:
+            results.extend(json.load(f))
+    return results
+
+
+def score_results(
+    dataset_name: str, results: List[dict], max_videos: Optional[int] = None
+) -> Dict[str, float]:
+    """Score an assembled results list (e.g. merged shards) against the
+    registered dataset's ground truth."""
+    from ..evaluation.ytvos_eval import evaluate_vis
+
+    dicts, _ = get_dataset(dataset_name)
+    if max_videos:
+        dicts = dicts[:max_videos]
+    return evaluate_vis(collect_gt(dicts), results, use_cats=False)
+
+
 def evaluate_dataset(
     cfg: Config,
     model,
@@ -56,6 +94,8 @@ def evaluate_dataset(
     output_dir: Optional[str] = None,
     max_videos: Optional[int] = None,
     model_short=None,
+    num_shards: int = 1,
+    shard_index: int = 0,
 ) -> Dict[str, float]:
     """--eval-only path: run inference over a registered dataset and score.
 
@@ -71,6 +111,11 @@ def evaluate_dataset(
     dicts, metadata = get_dataset(dataset_name)
     if max_videos:
         dicts = dicts[:max_videos]
+    if num_shards > 1:
+        # per-host video shard (reference: d2 InferenceSampler splits the
+        # dataset across ranks); metrics returned here cover THIS shard
+        # only — merge shard files with merge_shard_results + score_results
+        dicts = dicts[shard_index::num_shards]
     mapper = ClipMapper(MapperConfig.from_config(cfg, is_train=False), is_train=False)
     tcfg = cfg.model.mask_former.test
 
@@ -125,7 +170,11 @@ def evaluate_dataset(
 
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
-        with open(os.path.join(output_dir, "results.json"), "w") as f:
+        name = (
+            "results.json" if num_shards == 1
+            else f"results_shard{shard_index}.json"
+        )
+        with open(os.path.join(output_dir, name), "w") as f:
             json.dump(results, f)
 
     metrics = evaluate_vis(gt_annotations, results, use_cats=False)

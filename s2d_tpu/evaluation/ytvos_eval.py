@@ -198,6 +198,33 @@ def evaluate_detections_boxes(
     return _evaluate_generic(gts, dts, use_cats, iou_fn=box_iou)
 
 
+def evaluate_detections_masks(
+    gt_annotations: List[dict],
+    predictions: List[dict],
+    use_cats: bool = True,
+) -> Dict[str, float]:
+    """COCO-style segm (mask) AP for image detections — the reference's
+    COCO evaluator scores masks when TEST.NO_SEGM=False
+    (`cutler/evaluation/coco_evaluation.py`). Entries carry
+    {image_id, category_id, segmentation (RLE dict), score?}; each image is
+    a single-frame 'video' so the RLE track-IoU path applies unchanged."""
+
+    def to_track(e):
+        seg = e["segmentation"]
+        return {
+            "video_id": e.get("image_id", e.get("video_id")),
+            "category_id": e["category_id"],
+            "segmentations": [seg],
+            "avg_area": float(rle_codec.area(seg)),
+            "iscrowd": e.get("iscrowd", 0),
+            **({"score": e["score"]} if "score" in e else {}),
+        }
+
+    gts = [to_track(g) for g in gt_annotations]
+    dts = [to_track(d) for d in predictions]
+    return _evaluate_generic(gts, dts, use_cats)
+
+
 def evaluate_vis(
     gt_annotations: List[dict],
     predictions: List[dict],

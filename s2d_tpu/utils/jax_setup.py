@@ -20,6 +20,42 @@ def enable_compilation_cache(path: str = "/tmp/jax_cache") -> None:
         pass  # backends already initialized; cache flags are best-effort
 
 
+def _host_cpu_fingerprint() -> str:
+    """Digest of the host's CPU feature flags, to key the XLA:CPU cache."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "unknown"
+
+
+def setup_runtime(cache_path: str = "/tmp/jax_cache") -> None:
+    """Entry-point runtime setup for every CLI.
+
+    Honors ``S2D_PLATFORM=cpu`` (read by OUR code, so it works even though
+    this jax build ignores JAX_PLATFORMS): local verification drives the
+    CLIs on XLA:CPU without touching the remote TPU tunnel. Any other
+    value (or unset) keeps the default backend + shared TPU cache.
+    """
+    import os
+
+    if os.environ.get("S2D_PLATFORM", "").lower() == "cpu":
+        force_cpu()
+        try:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        except Exception:
+            pass
+    else:
+        enable_compilation_cache(cache_path)
+
+
 def force_cpu() -> None:
     try:
         jax.config.update("jax_platforms", "cpu")
@@ -28,7 +64,12 @@ def force_cpu() -> None:
         # fleet migrates between hosts with different avx512 subsets —
         # loading an entry compiled on the other host intermittently
         # SIGSEGVs/SIGILLs (the cpu_aot_loader warning says exactly this).
+        # Keying the dir by the host's own flag set makes a migrated host
+        # start a fresh cache instead of loading foreign machine code.
         # The TPU cache (serialized HLO, host-independent) stays shared.
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            f"/tmp/jax_cache_cpu_{_host_cpu_fingerprint()}",
+        )
     except Exception:
         pass

@@ -1,0 +1,274 @@
+"""Multi-device (virtual CPU mesh) tests: mesh KD train step vs
+single-device, loader shard disjointness, sharded eval merge, and
+auto_scale_workers semantics.
+
+conftest.py forces 8 virtual CPU devices
+(`--xla_force_host_platform_device_count=8`), so these run in the normal
+suite — multi-chip correctness does not rest on the driver dryrun alone.
+Reference analogs: torch DDP data parallelism (`mask2former_video/engine/
+defaults.py:66-85`), d2 TrainingSampler rank sharding, InferenceSampler +
+comm.gather eval merge, and the auto_scale_workers rule
+(`engine/defaults.py:733-802`).
+"""
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2d_tpu.config import load_config
+from s2d_tpu.models.meta_arch import VideoMaskFormer
+from s2d_tpu.parallel import create_mesh, replicate, shard_batch
+from s2d_tpu.train import TrainState, build_optimizer, make_train_step
+
+
+def _tiny_cfg():
+    return load_config(None, opts=[
+        "MODEL.MASK_FORMER.HIDDEN_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.MASK_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.CONVS_DIM", "32",
+        "MODEL.MASK_FORMER.NUM_OBJECT_QUERIES", "8",
+        "MODEL.MASK_FORMER.NHEADS", "4",
+        "MODEL.MASK_FORMER.DIM_FEEDFORWARD", "64",
+        "MODEL.MASK_FORMER.DEC_LAYERS", "2",
+        "MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS", "1",
+        "MODEL.MASK_FORMER.TRAIN_NUM_POINTS", "64",
+        "SOLVER.AMP.ENABLED", "False",
+    ])
+
+
+def _tiny_model(cfg):
+    mf = cfg.model.mask_former
+    return VideoMaskFormer(
+        num_classes=1, hidden_dim=mf.hidden_dim, mask_dim=32,
+        num_queries=mf.num_object_queries, nheads=mf.nheads,
+        dim_feedforward=mf.dim_feedforward, dec_layers=mf.dec_layers,
+        transformer_enc_layers=1, compute_dtype=jnp.float32,
+    )
+
+
+def _make_state_and_batch(cfg, model, b=2):
+    rng = jax.random.PRNGKey(0)
+    t, h, w, n = 2, 32, 32, 3
+    images = jax.random.normal(rng, (b, t, h, w, 3))
+    params = model.init(rng, images[:1])
+    tx = build_optimizer(cfg, params)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        teacher_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=tx.init(params),
+    )
+    masks = jax.random.uniform(jax.random.PRNGKey(1), (b, n, t, h, w)) > 0.7
+    valid = jnp.tile(jnp.asarray([[True, True, False]]), (b, 1))
+    return tx, state, (np.asarray(images), np.asarray(masks), np.asarray(valid))
+
+
+def test_mesh_train_step_matches_single_device():
+    """The sharded KD step computes the same global math as unsharded:
+    identical data + rng => identical losses and identical updated params
+    (f32, CPU — the collective reduction order is deterministic here)."""
+    assert len(jax.devices()) >= 2, "conftest must provide 8 virtual devices"
+    cfg = _tiny_cfg()
+    model = _tiny_model(cfg)
+    tx, state, (images, masks, valid) = _make_state_and_batch(cfg, model, b=2)
+    step_fn = jax.jit(make_train_step(model, cfg, tx))
+    step_rng = jax.random.PRNGKey(2)
+
+    new_single, m_single = step_fn(
+        state, jnp.asarray(images), jnp.asarray(masks), jnp.asarray(valid),
+        step_rng,
+    )
+
+    mesh = create_mesh(n_data=2, devices=jax.devices()[:2])
+    with mesh:
+        state_r = replicate(mesh, state)
+        sharded = shard_batch(mesh, (images, masks, valid))
+        new_mesh, m_mesh = step_fn(state_r, *sharded, step_rng)
+
+    assert np.isfinite(float(m_mesh["total_loss"]))
+    np.testing.assert_allclose(
+        float(m_mesh["total_loss"]), float(m_single["total_loss"]),
+        rtol=1e-5,
+    )
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_mesh[k]), float(m_single[k]), rtol=1e-4, atol=1e-6,
+            err_msg=f"metric {k} diverges on the mesh",
+        )
+    # parameters after the step agree too (grad psum == global grad). The
+    # psum reduction order differs from the single-device batch sum, and
+    # Adam's m/sqrt(v) normalization means a near-zero gradient element's
+    # update direction is sign(noise) — isolated elements can differ by up
+    # to a full lr-sized update. So: loose per-element tolerance (a couple
+    # of update magnitudes) + a cap on how many elements may disagree at
+    # all. A genuinely wrong gradient (missing psum, wrong normalization)
+    # flips the update direction across whole tensors, not <0.1% of them.
+    lr = cfg.solver.base_lr
+    flat_s = jax.tree_util.tree_leaves(new_single.params)
+    flat_m = jax.tree_util.tree_leaves(new_mesh.params)
+    n_bad = n_tot = 0
+    for a, b_ in zip(flat_s, flat_m):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        np.testing.assert_allclose(a, b_, rtol=1e-2, atol=3 * lr)
+        n_bad += int((np.abs(a - b_) > 1e-2 * np.abs(b_) + 0.1 * lr).sum())
+        n_tot += a.size
+    assert n_bad / n_tot < 1e-3, f"{n_bad}/{n_tot} params diverge on the mesh"
+
+
+def test_mesh_train_step_eight_devices():
+    """Full 8-way data mesh executes and produces finite losses."""
+    assert len(jax.devices()) == 8
+    cfg = _tiny_cfg()
+    model = _tiny_model(cfg)
+    tx, state, (images, masks, valid) = _make_state_and_batch(cfg, model, b=8)
+    step_fn = jax.jit(make_train_step(model, cfg, tx))
+    mesh = create_mesh(n_data=8)
+    with mesh:
+        state_r = replicate(mesh, state)
+        sharded = shard_batch(mesh, (images, masks, valid))
+        new_state, metrics = step_fn(state_r, *sharded, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(jax.device_get(new_state.step)) == 1
+
+
+def test_loader_shards_are_disjoint_and_cover():
+    """train_loader num_shards/shard_index: same seed => the per-epoch
+    permutation is shared, shards take disjoint slices covering the set
+    (d2 TrainingSampler rank sharding)."""
+    from s2d_tpu.data.loader import train_loader
+
+    n_items, t, h, w = 12, 2, 8, 8
+
+    def fake_mapper(record):
+        i = record["idx"]
+        return {
+            "image": np.full((t, h, w, 3), float(i), np.float32),
+            "masks": np.zeros((2, t, h, w), bool),
+            "valid": np.zeros((2,), bool),
+        }
+
+    dicts = [{"idx": i} for i in range(n_items)]
+    seen = {}
+    for shard in (0, 1):
+        it = train_loader(
+            dicts, fake_mapper, batch_size=1,
+            pixel_mean=(0.0, 0.0, 0.0), pixel_std=(1.0, 1.0, 1.0),
+            seed=3, num_shards=2, shard_index=shard, prefetch=0,
+        )
+        ids = []
+        for _ in range(n_items // 2):  # exactly one epoch's slice
+            batch = next(it)
+            ids.append(int(batch["images"][0, 0, 0, 0, 0]))
+        seen[shard] = ids
+    assert not set(seen[0]) & set(seen[1]), "shards overlap"
+    assert set(seen[0]) | set(seen[1]) == set(range(n_items)), "incomplete cover"
+
+
+def test_sharded_eval_merge_matches_unsharded(tmp_path):
+    """evaluate_dataset over 2 shards + merge_shard_results/score_results
+    reproduces the single-shard metrics and results set."""
+    import cv2
+
+    from s2d_tpu.data import register_ytvis, rle
+    from s2d_tpu.evaluation.evaluator import (
+        evaluate_dataset,
+        merge_shard_results,
+        score_results,
+    )
+    from s2d_tpu.models import build_model
+
+    root = tmp_path
+    img_root = root / "frames"
+    img_root.mkdir()
+    videos, annotations = [], []
+    h, w, t = 64, 64, 2
+    for vid in (1, 2):
+        files = []
+        (img_root / f"v{vid}").mkdir()
+        for fi in range(t):
+            name = f"v{vid}/{fi:05d}.jpg"
+            img = np.random.RandomState(vid * 10 + fi).randint(
+                0, 255, (h, w, 3), np.uint8
+            )
+            cv2.imwrite(str(img_root / name), img)
+            files.append(name)
+        videos.append({"id": vid, "file_names": files, "height": h,
+                       "width": w, "length": t})
+        mask = np.zeros((h, w), bool)
+        mask[10:30, 10:40] = True
+        annotations.append({
+            "id": vid, "video_id": vid, "category_id": 1,
+            "segmentations": [rle.encode(mask)] * t, "iscrowd": 0,
+        })
+    (root / "val.json").write_text(json.dumps({
+        "videos": videos, "annotations": annotations,
+        "categories": [{"id": 1, "name": "fg"}],
+    }))
+    register_ytvis("tiny_sharded_val", str(root / "val.json"),
+                   str(img_root), class_agnostic=True)
+
+    cfg = load_config(None, opts=[
+        "MODEL.MASK_FORMER.HIDDEN_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.MASK_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.CONVS_DIM", "32",
+        "MODEL.MASK_FORMER.NUM_OBJECT_QUERIES", "8",
+        "MODEL.MASK_FORMER.NHEADS", "4",
+        "MODEL.MASK_FORMER.DIM_FEEDFORWARD", "64",
+        "MODEL.MASK_FORMER.DEC_LAYERS", "2",
+        "MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS", "1",
+        "MODEL.MASK_FORMER.TEST.NUM_PREDICTIONS", "4",
+        "INPUT.MIN_SIZE_TEST", "64",
+        "SOLVER.AMP.ENABLED", "False",
+    ])
+    model = build_model(cfg, compute_dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, h, w, 3)))
+
+    single_dir = str(tmp_path / "single")
+    m_single = evaluate_dataset(
+        cfg, model, variables, "tiny_sharded_val", output_dir=single_dir
+    )
+
+    shard_dir = str(tmp_path / "sharded")
+    for shard in (0, 1):
+        evaluate_dataset(
+            cfg, model, variables, "tiny_sharded_val", output_dir=shard_dir,
+            num_shards=2, shard_index=shard,
+        )
+    merged = merge_shard_results(shard_dir, 2)
+    with open(os.path.join(single_dir, "results.json")) as f:
+        single_results = json.load(f)
+    key = lambda r: (r["video_id"], -r["score"])
+    assert sorted(merged, key=key) == sorted(single_results, key=key)
+
+    m_merged = score_results("tiny_sharded_val", merged)
+    for k in ("AP", "AP50", "AR10"):
+        assert m_merged[k] == pytest.approx(m_single[k])
+
+
+def test_auto_scale_workers_eight_devices():
+    """REFERENCE_WORLD_SIZE=2 scaled to 8 devices: batch x4, lr x4,
+    iters/warmup/milestones /4 (reference engine/defaults.py:733-802)."""
+    from s2d_tpu.train.scaling import auto_scale_workers
+
+    cfg = load_config(None, opts=[
+        "SOLVER.REFERENCE_WORLD_SIZE", "2",
+        "SOLVER.IMS_PER_BATCH", "4",
+        "SOLVER.BASE_LR", "0.001",
+        "SOLVER.MAX_ITER", "8000",
+        "SOLVER.WARMUP_ITERS", "400",
+        "SOLVER.STEPS", "(4000,)",
+    ])
+    out = auto_scale_workers(cfg, 8)
+    assert out.solver.ims_per_batch == 16
+    assert out.solver.base_lr == pytest.approx(0.004)
+    assert out.solver.max_iter == 2000
+    assert out.solver.warmup_iters == 100
+    assert out.solver.steps == (1000,)
+    assert out.solver.reference_world_size == 8
+    # idempotent at the new world size
+    assert auto_scale_workers(out, 8) is out

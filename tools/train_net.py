@@ -48,8 +48,8 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
-    from s2d_tpu.utils.jax_setup import enable_compilation_cache
-    enable_compilation_cache()
+    from s2d_tpu.utils.jax_setup import setup_runtime
+    setup_runtime()  # S2D_PLATFORM=cpu forces XLA:CPU for local drives
     import jax
     import jax.numpy as jnp
     import numpy as np
