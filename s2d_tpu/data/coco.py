@@ -31,6 +31,15 @@ _PREDEFINED_COCO = {
     "coco_val_2017": ("coco/val2017", "coco/annotations/instances_val2017.json"),
     "cls_agnostic_voc": ("voc/JPEGImages", "voc/annotations/trainvaltest_2007_cls_agnostic.json"),
     "cls_agnostic_uvo": ("uvo/all_UVO_frames", "uvo/annotations/val_sparse_cleaned_cls_agnostic.json"),
+    # remaining reference zero-shot eval tables (builtin.py:41-97)
+    "cls_agnostic_coco20k": ("coco/train2014", "coco/annotations/coco20k_trainval_gt.json"),
+    "cls_agnostic_lvis": ("coco", "coco/annotations/lvis1.0_cocofied_val_cls_agnostic.json"),
+    "cls_agnostic_objects365": ("objects365/val", "objects365/annotations/zhiyuan_objv2_val_cls_agnostic.json"),
+    "cls_agnostic_openimages": ("openImages/validation", "openImages/annotations/openimages_val_cls_agnostic.json"),
+    "cls_agnostic_kitti": ("kitti", "kitti/annotations/trainval_cls_agnostic.json"),
+    "cls_agnostic_clipart": ("clipart", "clipart/annotations/traintest_cls_agnostic.json"),
+    "cls_agnostic_watercolor": ("watercolor", "watercolor/annotations/traintest_cls_agnostic.json"),
+    "cls_agnostic_comic": ("comic", "comic/annotations/traintest_cls_agnostic.json"),
 }
 
 

@@ -186,3 +186,132 @@ class SemSegClipMapper:
             "annotations": objs,
         }
         return self._clip(clip_record)
+
+
+# -------------------------------------------------------------- panoptic
+
+PANOPTIC_REGISTRY: Dict[str, dict] = {}
+
+_PREDEFINED_PANOPTIC = {
+    # name: (image_root, panoptic_root, panoptic_json)
+    "coco_2017_train_panoptic": (
+        "coco/train2017", "coco/panoptic_train2017",
+        "coco/annotations/panoptic_train2017.json"),
+    "coco_2017_val_panoptic": (
+        "coco/val2017", "coco/panoptic_val2017",
+        "coco/annotations/panoptic_val2017.json"),
+    "ade20k_panoptic_train": (
+        "ADEChallengeData2016/images/training",
+        "ADEChallengeData2016/ade20k_panoptic_train",
+        "ADEChallengeData2016/ade20k_panoptic_train.json"),
+    "ade20k_panoptic_val": (
+        "ADEChallengeData2016/images/validation",
+        "ADEChallengeData2016/ade20k_panoptic_val",
+        "ADEChallengeData2016/ade20k_panoptic_val.json"),
+}
+
+
+def rgb2id(color: np.ndarray) -> np.ndarray:
+    """Panoptic-PNG RGB -> segment id (public panopticapi convention:
+    id = R + G*256 + B*256^2)."""
+    color = color.astype(np.int64)
+    return color[..., 0] + 256 * color[..., 1] + 256 * 256 * color[..., 2]
+
+
+def register_panoptic(
+    name: str, image_root: str, panoptic_root: str, panoptic_json: str
+) -> None:
+    PANOPTIC_REGISTRY[name] = {
+        "image_root": image_root,
+        "panoptic_root": panoptic_root,
+        "panoptic_json": panoptic_json,
+    }
+
+
+def register_builtin_panoptic(root: Optional[str] = None) -> None:
+    root = root or datasets_root()
+    for name, (ir, pr, pj) in _PREDEFINED_PANOPTIC.items():
+        register_panoptic(name, os.path.join(root, ir),
+                          os.path.join(root, pr), os.path.join(root, pj))
+
+
+def get_panoptic_dataset(name: str) -> Tuple[List[dict], dict]:
+    """Panoptic records (d2 load_coco_panoptic_json shape):
+    {file_name, image_id, pan_seg_file_name, segments_info}."""
+    import json
+
+    if name not in PANOPTIC_REGISTRY:
+        register_builtin_panoptic()
+    if name not in PANOPTIC_REGISTRY:
+        raise KeyError(
+            f"Unknown dataset {name!r}; registered: {sorted(PANOPTIC_REGISTRY)}"
+        )
+    info = PANOPTIC_REGISTRY[name]
+    with open(info["panoptic_json"]) as f:
+        pj = json.load(f)
+    image_of = {im["id"]: im for im in pj.get("images", [])}
+    dicts = []
+    for ann in pj["annotations"]:
+        im = image_of.get(ann["image_id"], {})
+        dicts.append({
+            "image_id": ann["image_id"],
+            "file_name": os.path.join(
+                info["image_root"],
+                im.get("file_name", os.path.splitext(ann["file_name"])[0] + ".jpg"),
+            ),
+            "pan_seg_file_name": os.path.join(info["panoptic_root"], ann["file_name"]),
+            "segments_info": ann["segments_info"],
+        })
+    meta = {"evaluator_type": "panoptic"}
+    return dicts, meta
+
+
+class PanopticClipMapper:
+    """Panoptic record -> mask-classification clip sample.
+
+    Rebuild of the reference's MaskFormerPanopticDatasetMapper
+    (`mask2former/data/dataset_mappers/mask_former_panoptic_dataset_mapper.py:83-128`):
+    the panoptic PNG decodes to segment ids (rgb2id), each non-crowd
+    segment becomes one binary mask labeled with its category_id, and the
+    still image is replicated into a pseudo-clip (collate-compatible with
+    ClipMapper output)."""
+
+    def __init__(self, cfg: MapperConfig, is_train: bool = True, seed: int = 0):
+        self.cfg = cfg
+        self.is_train = is_train
+        self._clip = ClipMapper(cfg, is_train=is_train, seed=seed)
+
+    def __call__(self, record: dict) -> Optional[dict]:
+        import cv2
+
+        bgr = cv2.imread(record["pan_seg_file_name"], cv2.IMREAD_COLOR)
+        if bgr is None:
+            return None
+        seg_ids = rgb2id(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+        h, w = seg_ids.shape
+        t = self.cfg.sampling_frame_num if self.is_train else 1
+        from .rle import encode
+
+        objs = []
+        for si in record.get("segments_info", [])[: self.cfg.max_instances]:
+            if si.get("iscrowd", 0):
+                continue
+            m = seg_ids == si["id"]
+            if not m.any():
+                continue
+            objs.append({
+                "id": si["id"],
+                "category_id": int(si["category_id"]),
+                "segmentations": [encode(m)] * t,
+                "bboxes": [None] * t,
+                "areas": [None] * t,
+            })
+        clip_record = {
+            "video_id": record.get("image_id", 0),
+            "file_names": [record["file_name"]] * t,
+            "height": h,
+            "width": w,
+            "length": t,
+            "annotations": objs,
+        }
+        return self._clip(clip_record)
