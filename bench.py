@@ -25,7 +25,10 @@ import time
 # reference's single-forward whole-clip demo path (R50 + 6-layer deformable
 # encoder + 9-layer video decoder at 360x640, AMP fp16). No published number
 # exists in the repo; this constant documents the assumed denominator.
-# Sensitivity/grounding: see PERFORMANCE.md "baseline denominator".
+# GROUNDING (round 2): the reference-architecture torch oracle measures
+# 0.35-0.38 f/s on one CPU core at these shapes (tools/bench_torch_baseline.py),
+# so 25 f/s assumes an ~66x A100-vs-core speedup — see PERFORMANCE.md
+# "Baseline denominator grounding" for the sensitivity analysis.
 ESTIMATED_A100_FPS = 25.0
 
 T = 8  # frames per clip forward
