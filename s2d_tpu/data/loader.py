@@ -128,12 +128,15 @@ def _prefetch(it: Iterator, depth: int) -> Iterator:
         return it
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    err: list = []
 
     def worker():
         try:
             for item in it:
                 q.put(item)
-        finally:
+        except BaseException as e:  # re-raised on the consumer side — a
+            err.append(e)          # swallowed error silently truncates
+        finally:                   # the dataset
             q.put(sentinel)
 
     threading.Thread(target=worker, daemon=True).start()
@@ -142,6 +145,8 @@ def _prefetch(it: Iterator, depth: int) -> Iterator:
         while True:
             item = q.get()
             if item is sentinel:
+                if err:
+                    raise err[0]
                 return
             yield item
 

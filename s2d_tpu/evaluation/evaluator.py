@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import time
 from typing import Dict, Iterable, List, Optional
 
@@ -128,9 +129,43 @@ def evaluate_dataset(
     apply_jit_short = (
         jax.jit(model_short.apply) if model_short is not None else apply_jit
     )
+
+    # Overlap host work with device compute (the reference gets this from
+    # d2's worker-process DataLoader + AsyncPredictor):
+    #  * frame loading/resizing for video i+1 runs on a prefetch thread
+    #    while the device processes video i;
+    #  * the device->host readback + RLE encoding of video i's predictions
+    #    runs on a finalize thread while video i+1's forward is enqueued
+    #    (jax dispatch is async; the bounded queue caps retained HBM).
+    import threading
+
+    from ..data.loader import _prefetch
+
+    mapped = _prefetch(((r, mapper(r)) for r in dicts), depth=2)
+
+    fin_q: "queue.Queue" = queue.Queue(maxsize=2)
+    fin_err: List[BaseException] = []
+
+    def finalize_worker():
+        while True:
+            item = fin_q.get()
+            if item is None:
+                return
+            video_id, device_out = item
+            try:
+                preds = finalize_predictions(device_out)
+                results.extend(predictions_to_results(video_id, preds))
+            except BaseException as e:  # propagate to the main thread
+                fin_err.append(e)
+                return
+
+    fin_thread = threading.Thread(target=finalize_worker, daemon=True)
+    fin_thread.start()
+
     start = time.perf_counter()
-    for record in dicts:
-        sample = mapper(record)
+    for record, sample in mapped:
+        if fin_err:
+            break
         images, (h, w) = preprocess_clip(
             sample["image"], cfg.model.pixel_mean, cfg.model.pixel_std,
             cfg.model.mask_former.size_divisibility,
@@ -156,8 +191,7 @@ def evaluate_dataset(
             use_nms=tcfg.use_nms,
             nms_thresh=tcfg.nms_thresh,
         )
-        preds = finalize_predictions(device_out)
-        results.extend(predictions_to_results(record["video_id"], preds))
+        fin_q.put((record["video_id"], device_out))
         for o in record["annotations"]:
             gt_annotations.append(
                 {
@@ -166,6 +200,10 @@ def evaluate_dataset(
                     "segmentations": o["segmentations"],
                 }
             )
+    fin_q.put(None)
+    fin_thread.join()
+    if fin_err:
+        raise fin_err[0]
     elapsed = time.perf_counter() - start
 
     if output_dir:
