@@ -138,3 +138,19 @@ def test_collate(fake_dataset):
     assert h % 32 == 0 and w % 32 == 0
     assert batch["masks"].shape == (2, 5, 2, h, w)
     assert batch["valid"].shape == (2, 5)
+
+
+def test_prefetch_propagates_worker_errors():
+    """A mapper crash must surface, not silently truncate the stream."""
+    from s2d_tpu.data.loader import _prefetch
+
+    def gen():
+        yield 1
+        yield 2
+        raise RuntimeError("boom")
+
+    it = _prefetch(gen(), depth=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
