@@ -51,20 +51,15 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def process_video(args, video_dir: str, out_json: str) -> None:
+def load_video_inputs(args, video_dir: str):
+    """Host IO phase: frames + candidate-mask PNGs for one video.
+
+    Split out of process_video so the driver can prefetch the NEXT
+    video's IO on a thread while the tracker works on the current one
+    (the compute phase is device-bound; this host work is pure cv2)."""
     import cv2
 
-    from s2d_tpu.keymask import (
-        CorrelationTracker,
-        extract_visibility_curves,
-        load_masks_from_color_png,
-        match_candidate,
-        match_matrix,
-        group_quality,
-        temporal_correspondence_clustering,
-        visibility_windows,
-        write_annotation_for_video,
-    )
+    from s2d_tpu.keymask import load_masks_from_color_png
 
     name = os.path.basename(video_dir)
     frame_files = sorted(
@@ -91,6 +86,39 @@ def process_video(args, video_dir: str, out_json: str) -> None:
                 mask_of_id[next_overall] = mask
                 next_overall += 1
         masks_per_frame.append(frame_masks)
+    return {
+        "name": name,
+        "frame_files": frame_files,
+        "video": video,
+        "masks_per_frame": masks_per_frame,
+        "overall_ids": overall_ids,
+        "frame_of_id": frame_of_id,
+        "mask_of_id": mask_of_id,
+    }
+
+
+def process_video(args, video_dir: str, out_json: str, inputs=None) -> None:
+    from s2d_tpu.keymask import (
+        CorrelationTracker,
+        extract_visibility_curves,
+        match_candidate,
+        match_matrix,
+        group_quality,
+        temporal_correspondence_clustering,
+        visibility_windows,
+        write_annotation_for_video,
+    )
+
+    if inputs is None:
+        inputs = load_video_inputs(args, video_dir)
+    name = inputs["name"]
+    frame_files = inputs["frame_files"]
+    video = inputs["video"]
+    masks_per_frame = inputs["masks_per_frame"]
+    overall_ids = inputs["overall_ids"]
+    frame_of_id = inputs["frame_of_id"]
+    mask_of_id = inputs["mask_of_id"]
+    t = len(video)
 
     if args.tracker == "cotracker":
         from s2d_tpu.keymask.cotracker import build_cotracker
@@ -183,15 +211,35 @@ def main(argv=None):
         lo = args.job_id * args.videos_per_job
         videos = videos[lo : lo + args.videos_per_job]
 
-    ok, failed, skipped = 0, 0, 0
+    pending = []
+    skipped = 0
     for video_dir in videos:
         name = os.path.basename(video_dir)
         out_json = os.path.join(args.output_root, "annotations", f"{name}.json")
         if os.path.exists(out_json):
             skipped += 1
-            continue
+        else:
+            pending.append((video_dir, out_json))
+
+    # prefetch the NEXT video's host IO (frames + mask PNGs) on a thread
+    # while the tracker processes the current one; per-video load errors
+    # are carried as values so one bad video never kills the stream
+    from s2d_tpu.data.loader import _prefetch
+
+    def loaded():
+        for video_dir, out_json in pending:
+            try:
+                yield video_dir, out_json, load_video_inputs(args, video_dir), None
+            except Exception as e:
+                yield video_dir, out_json, None, e
+
+    ok, failed = 0, 0
+    for video_dir, out_json, inputs, load_err in _prefetch(loaded(), depth=1):
+        name = os.path.basename(video_dir)
         try:
-            process_video(args, video_dir, out_json)
+            if load_err is not None:
+                raise load_err
+            process_video(args, video_dir, out_json, inputs=inputs)
             ok += 1
         except Exception:
             failed += 1
