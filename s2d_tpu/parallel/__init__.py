@@ -5,6 +5,7 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .tp import param_shardings, shard_params, shard_train_state
 
 __all__ = [
     "batch_sharding",
@@ -12,4 +13,7 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_batch",
+    "param_shardings",
+    "shard_params",
+    "shard_train_state",
 ]

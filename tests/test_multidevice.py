@@ -272,3 +272,47 @@ def test_auto_scale_workers_eight_devices():
     assert out.solver.reference_world_size == 8
     # idempotent at the new world size
     assert auto_scale_workers(out, 8) is out
+
+
+def test_dp_tp_mesh_matches_single_device():
+    """2x2 (data x model) mesh with Megatron FFN sharding computes the
+    same global math as unsharded: identical losses on identical data."""
+    from s2d_tpu.parallel import shard_train_state
+    from s2d_tpu.parallel.tp import param_shardings, tp_spec
+
+    assert len(jax.devices()) >= 4
+    cfg = _tiny_cfg()
+    model = _tiny_model(cfg)
+    tx, state, (images, masks, valid) = _make_state_and_batch(cfg, model, b=2)
+    step_fn = jax.jit(make_train_step(model, cfg, tx))
+    step_rng = jax.random.PRNGKey(2)
+
+    _, m_single = step_fn(
+        state, jnp.asarray(images), jnp.asarray(masks), jnp.asarray(valid),
+        step_rng,
+    )
+
+    mesh = create_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+    # the tiny model's FFN dims (64) divide n_model=2: the rules must
+    # actually shard (not silently fall back to replicated)
+    specs = param_shardings(mesh, state.params)
+    sharded_specs = [
+        s for s in jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda s: s.spec != jax.sharding.PartitionSpec(),
+                                   specs, is_leaf=lambda x: hasattr(x, "spec"))
+        ) if s
+    ]
+    assert len(sharded_specs) > 0, "no parameter got a TP sharding"
+
+    with mesh:
+        state_s = shard_train_state(mesh, state)
+        sharded = shard_batch(mesh, (images, masks, valid))
+        new_state, m_mesh = step_fn(state_s, *sharded, step_rng)
+
+    assert np.isfinite(float(m_mesh["total_loss"]))
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_mesh[k]), float(m_single[k]), rtol=1e-4, atol=1e-6,
+            err_msg=f"metric {k} diverges on the dp x tp mesh",
+        )
+    assert int(jax.device_get(new_state.step)) == 1
