@@ -157,3 +157,21 @@ def test_train_cli_eval_period(train_dataset, tmp_path):
     lines = [json.loads(l) for l in open(os.path.join(out_dir, "metrics.json"))]
     eval_lines = [l for l in lines if any("AP" in k for k in l)]
     assert eval_lines, "mid-train eval metrics missing from metrics.json"
+
+
+def test_train_cli_model_parallel(train_dataset, tmp_path):
+    """--model-parallel 2 on the 8-virtual-device mesh: dp x tp training
+    runs and produces finite losses."""
+    import train_net_video
+
+    out_dir = str(tmp_path / "out_tp")
+    rc = train_net_video.main([
+        "--model-parallel", "2",
+        "SOLVER.MAX_ITER", "2",
+        *_TINY_OPTS,
+        "OUTPUT_DIR", out_dir,
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in open(os.path.join(out_dir, "metrics.json"))]
+    assert len(lines) == 2
+    assert np.isfinite(lines[-1]["total_loss"])

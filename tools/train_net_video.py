@@ -28,6 +28,11 @@ def parse_args(argv=None):
                         help="cap eval videos (debug)")
     parser.add_argument("--weights", default="", help=".pth/.pkl to convert-load")
     parser.add_argument(
+        "--model-parallel", type=int, default=1,
+        help="tensor-parallel degree: shard the FFN pairs over a `model` "
+             "mesh axis (parallel/tp.py); devices = data x model",
+    )
+    parser.add_argument(
         "opts", nargs=argparse.REMAINDER, default=[],
         help="config overrides: KEY VALUE pairs",
     )
@@ -143,11 +148,19 @@ def main(argv=None):
 
     # ---- training ----
     # the data axis must divide the global batch; surplus devices idle
-    # (the reference requires batch % world_size == 0 the same way)
-    n_data = len(jax.devices())
+    # (the reference requires batch % world_size == 0 the same way).
+    # --model-parallel N carves a `model` axis first (TP FFN shards).
+    n_model = max(args.model_parallel, 1)
+    assert len(jax.devices()) % n_model == 0, (
+        f"{len(jax.devices())} devices not divisible by "
+        f"--model-parallel {n_model}"
+    )
+    n_data = len(jax.devices()) // n_model
     while cfg.solver.ims_per_batch % n_data:
         n_data -= 1
-    mesh = create_mesh(n_data=n_data, devices=jax.devices()[:n_data])
+    mesh = create_mesh(
+        n_data=n_data, n_model=n_model, devices=jax.devices()[: n_data * n_model]
+    )
     tx = build_optimizer(cfg, student)
     state = TrainState(
         step=jnp.asarray(0, jnp.int32),
@@ -249,7 +262,12 @@ def main(argv=None):
 
     timer = StepTimer()
     with mesh:
-        state = replicate(mesh, state)
+        if n_model > 1:
+            from s2d_tpu.parallel import shard_train_state
+
+            state = shard_train_state(mesh, state)
+        else:
+            state = replicate(mesh, state)
         for it in range(start_iter, cfg.solver.max_iter):
             batch = next(loader_iter)
             timer.data_done()
