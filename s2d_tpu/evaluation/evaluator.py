@@ -97,8 +97,17 @@ def evaluate_dataset(
     model_short=None,
     num_shards: int = 1,
     shard_index: int = 0,
+    time_mesh=None,
 ) -> Dict[str, float]:
     """--eval-only path: run inference over a registered dataset and score.
+
+    `time_mesh`: a jax Mesh — shard each clip's FRAME axis over the mesh's
+    `data` axis so ONE video's forward uses every local chip (sequence
+    parallelism; XLA GSPMD inserts the decoder-side gathers). The T-bucket
+    padding (multiple of 8) keeps the axis divisible. This is a latency
+    layout the reference cannot express (its AsyncPredictor is
+    one-GPU-per-video); throughput-oriented runs should instead shard
+    VIDEOS across hosts via num_shards.
 
     `model_short` optionally provides a variant used for clips in the
     T <= 64 buckets: the flash masked cross-attention kernel that bounds
@@ -129,6 +138,12 @@ def evaluate_dataset(
     apply_jit_short = (
         jax.jit(model_short.apply) if model_short is not None else apply_jit
     )
+    if time_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        variables = jax.device_put(
+            variables, NamedSharding(time_mesh, P())
+        )
 
     # Overlap host work with device compute (the reference gets this from
     # d2's worker-process DataLoader + AsyncPredictor):
@@ -180,6 +195,17 @@ def evaluate_dataset(
             images = jnp.pad(images, ((0, 0), (0, pad_t), (0, 0), (0, 0), (0, 0)))
         frame_valid = jnp.arange(t + pad_t) < t
         fwd = apply_jit_short if t + pad_t <= 64 else apply_jit
+        if time_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_t = time_mesh.shape["data"]
+            if (t + pad_t) % n_t == 0:
+                images = jax.device_put(
+                    images, NamedSharding(time_mesh, P(None, "data"))
+                )
+                frame_valid = jax.device_put(
+                    frame_valid, NamedSharding(time_mesh, P("data"))
+                )
         out = fwd(variables, images, frame_valid=frame_valid)
         device_out = postprocess_video(
             out["pred_logits"][0],

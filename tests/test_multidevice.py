@@ -316,3 +316,59 @@ def test_dp_tp_mesh_matches_single_device():
             err_msg=f"metric {k} diverges on the dp x tp mesh",
         )
     assert int(jax.device_get(new_state.step)) == 1
+
+
+def test_time_parallel_eval_matches_unsharded(tmp_path):
+    """evaluate_dataset with time_mesh (frame axis sharded over devices)
+    reproduces the unsharded metrics (sequence-parallel eval)."""
+    import cv2
+
+    from s2d_tpu.data import register_ytvis, rle
+    from s2d_tpu.evaluation.evaluator import evaluate_dataset
+    from s2d_tpu.models import build_model
+
+    img_root = tmp_path / "frames"
+    img_root.mkdir()
+    h, w, t = 64, 64, 8  # t=8 -> divisible over the 8-device data axis
+    files = []
+    (img_root / "v1").mkdir()
+    for fi in range(t):
+        name = f"v1/{fi:05d}.jpg"
+        cv2.imwrite(str(img_root / name),
+                    np.random.RandomState(fi).randint(0, 255, (h, w, 3), np.uint8))
+        files.append(name)
+    mask = np.zeros((h, w), bool)
+    mask[10:30, 10:40] = True
+    (tmp_path / "val.json").write_text(json.dumps({
+        "videos": [{"id": 1, "file_names": files, "height": h, "width": w,
+                    "length": t}],
+        "annotations": [{"id": 1, "video_id": 1, "category_id": 1,
+                         "segmentations": [rle.encode(mask)] * t,
+                         "iscrowd": 0}],
+        "categories": [{"id": 1, "name": "fg"}],
+    }))
+    register_ytvis("tiny_tp_eval", str(tmp_path / "val.json"), str(img_root),
+                   class_agnostic=True)
+
+    cfg = load_config(None, opts=[
+        "MODEL.MASK_FORMER.HIDDEN_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.MASK_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.CONVS_DIM", "32",
+        "MODEL.MASK_FORMER.NUM_OBJECT_QUERIES", "8",
+        "MODEL.MASK_FORMER.NHEADS", "4",
+        "MODEL.MASK_FORMER.DIM_FEEDFORWARD", "64",
+        "MODEL.MASK_FORMER.DEC_LAYERS", "2",
+        "MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS", "1",
+        "MODEL.MASK_FORMER.TEST.NUM_PREDICTIONS", "4",
+        "INPUT.MIN_SIZE_TEST", "64",
+        "SOLVER.AMP.ENABLED", "False",
+    ])
+    model = build_model(cfg, compute_dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, h, w, 3)))
+
+    m_plain = evaluate_dataset(cfg, model, variables, "tiny_tp_eval")
+    mesh = create_mesh(n_data=8)
+    m_tp = evaluate_dataset(cfg, model, variables, "tiny_tp_eval",
+                            time_mesh=mesh)
+    for k in ("AP", "AP50", "AR10"):
+        assert m_tp[k] == pytest.approx(m_plain[k], abs=1e-6)

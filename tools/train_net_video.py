@@ -28,6 +28,11 @@ def parse_args(argv=None):
                         help="cap eval videos (debug)")
     parser.add_argument("--weights", default="", help=".pth/.pkl to convert-load")
     parser.add_argument(
+        "--time-parallel", action="store_true",
+        help="eval-only: shard each clip's frame axis over the local "
+             "devices (sequence-parallel whole-video inference)",
+    )
+    parser.add_argument(
         "--model-parallel", type=int, default=1,
         help="tensor-parallel degree: shard the FFN pairs over a `model` "
              "mesh axis (parallel/tp.py); devices = data x model",
@@ -112,12 +117,16 @@ def main(argv=None):
             model_short = build_model(cfg, msda_impl="pallas")
         eval_vars = student if cfg.model.mask_former.test.eval_student else teacher
         nshards, shard = jax.process_count(), jax.process_index()
+        time_mesh = None
+        if args.time_parallel and len(jax.devices()) > 1:
+            time_mesh = create_mesh(n_data=len(jax.devices()))
         for dataset_name in cfg.datasets.test:
             metrics = evaluate_dataset(
                 cfg, model, eval_vars, dataset_name,
                 output_dir=cfg.output_dir, max_videos=args.max_videos,
                 model_short=model_short,
                 num_shards=nshards, shard_index=shard,
+                time_mesh=time_mesh,
             )
             if nshards > 1:
                 # per-host shards land on the shared FS; host 0 merges and
