@@ -10,6 +10,7 @@ from .orbax_io import (
     latest_step,
     restore_checkpoint,
     save_checkpoint,
+    CheckpointWriter,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "latest_step",
     "restore_checkpoint",
     "save_checkpoint",
+    "CheckpointWriter",
 ]

@@ -34,6 +34,48 @@ def save_checkpoint(directory: str, step: int, state: Any) -> None:
         mgr.save(step, args=ocp.args.StandardSave(state))
 
 
+class CheckpointWriter:
+    """Persistent async checkpointer for the train loop.
+
+    `save_checkpoint` opens a fresh CheckpointManager per call and blocks
+    until the write completes — fine for one-off exports, but inside the
+    loop the device->host gather + disk write stalls training (the
+    reference's PeriodicCheckpointer blocks the same way). This writer
+    keeps ONE manager with Orbax async checkpointing: `save()` snapshots
+    the (immutable) jax arrays and returns; the write happens on Orbax's
+    background thread. `wait()`/`close()` at loop end; `max_to_keep`
+    bounds disk use.
+    """
+
+    def __init__(self, directory: str, max_to_keep: Optional[int] = None):
+        assert _HAS_ORBAX, "orbax unavailable"
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(
+                enable_async_checkpointing=True,
+                max_to_keep=max_to_keep,
+            ),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def latest_step(directory: str) -> Optional[int]:
     if not _HAS_ORBAX or not os.path.isdir(directory):
         return None

@@ -54,7 +54,7 @@ def main(argv=None):
     import numpy as np
 
     from s2d_tpu.config import load_config
-    from s2d_tpu.checkpoint import load_reference_model, save_checkpoint
+    from s2d_tpu.checkpoint import CheckpointWriter, load_reference_model
     from s2d_tpu.data import ClipMapper, MapperConfig, get_dataset, train_loader
     from s2d_tpu.evaluation.evaluator import evaluate_dataset
     from s2d_tpu.models import build_model
@@ -270,6 +270,9 @@ def main(argv=None):
     from s2d_tpu.utils.profiling import StepTimer
 
     timer = StepTimer()
+    # async writer: save() snapshots and returns; disk writes happen on
+    # orbax's background thread so checkpoints never stall the step loop
+    ckpt_writer = CheckpointWriter(ckpt_dir)
     with mesh:
         if n_model > 1:
             from s2d_tpu.parallel import shard_train_state
@@ -299,10 +302,11 @@ def main(argv=None):
             logger.log(it, metrics)
             done = (it + 1) == cfg.solver.max_iter
             if (it + 1) % ckpt_period == 0 or done:
-                save_checkpoint(ckpt_dir, it + 1, state)
+                ckpt_writer.save(it + 1, state)
             if eval_period > 0 and ((it + 1) % eval_period == 0 or done):
                 logger.log(it, run_eval(state, it + 1))
                 timer = StepTimer()  # eval time must not count as data time
+    ckpt_writer.close()
     return 0
 
 
