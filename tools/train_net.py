@@ -54,7 +54,11 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from s2d_tpu.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+    from s2d_tpu.checkpoint import (
+        CheckpointWriter,
+        latest_step,
+        restore_checkpoint,
+    )
     from s2d_tpu.data.coco import get_coco_dataset
     from s2d_tpu.evaluation.ytvos_eval import evaluate_detections_boxes
     from s2d_tpu.models.cutler import CutlerConfig, CutlerRCNN
@@ -111,6 +115,7 @@ def main(argv=None):
                 print(f"Resumed from checkpoint step {step}")
         step_fn = jax.jit(make_cutler_train_step(model, cfg, tx))
         logger = MetricLogger(args.output_dir)
+        ckpt_writer = CheckpointWriter(ckpt_dir)  # async background writes
         rng = np.random.RandomState(0)
         it = start
         prev_sample = None  # copy-paste source: the previous mapped image
@@ -144,7 +149,8 @@ def main(argv=None):
             logger.log(it, {k: float(v) for k, v in metrics.items()})
             it += 1
             if it % 5000 == 0 or it == cfg.max_iter:
-                save_checkpoint(ckpt_dir, it, (params, opt_state))
+                ckpt_writer.save(it, (params, opt_state))
+        ckpt_writer.close()
     else:
         step = latest_step(ckpt_dir)
         if step is not None:
