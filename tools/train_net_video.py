@@ -28,6 +28,12 @@ def parse_args(argv=None):
                         help="cap eval videos (debug)")
     parser.add_argument("--weights", default="", help=".pth/.pkl to convert-load")
     parser.add_argument(
+        "--profile-dir", default="",
+        help="capture a jax.profiler device trace of steps "
+             "[10, 10+--profile-steps) into this dir (Perfetto/XProf)",
+    )
+    parser.add_argument("--profile-steps", type=int, default=3)
+    parser.add_argument(
         "--time-parallel", action="store_true",
         help="eval-only: shard each clip's frame axis over the local "
              "devices (sequence-parallel whole-video inference)",
@@ -281,6 +287,13 @@ def main(argv=None):
         else:
             state = replicate(mesh, state)
         for it in range(start_iter, cfg.solver.max_iter):
+            if args.profile_dir:
+                # skip the compile step; bracket a few steady-state steps
+                if it == start_iter + 10:
+                    jax.profiler.start_trace(args.profile_dir)
+                elif it == start_iter + 10 + args.profile_steps:
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {args.profile_dir}")
             batch = next(loader_iter)
             timer.data_done()
             images, masks, valid = shard_batch(
