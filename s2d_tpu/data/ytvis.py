@@ -29,6 +29,15 @@ _PREDEFINED_YTVIS = {
     "ytvis_2021_val": ("ytvis_2021/valid/JPEGImages", "ytvis_2021/valid/instances.json"),
     "ytvis_2021_valid": ("ytvis_2021/valid/JPEGImages", "ytvis_2021/valid/instances.json"),
     "ytvis_2022_val": ("ytvis_2022/valid/JPEGImages", "ytvis_2022/instances.json"),
+    # keymask pseudo-annotation sets (reference builtin.py:58 + the
+    # dense6[/nms] names its round-2 configs train on; the jsons are
+    # produced by tools/keymask_ident.py + convert_results_to_annotations)
+    "ytvis_2021_train_dense": (
+        "ytvis_2021/train/JPEGImages", "ytvis_2021/train/converted_annotations.json"),
+    "ytvis_2021_train_dense6": (
+        "ytvis_2021/train/JPEGImages", "ytvis_2021/train/dense6_annotations.json"),
+    "ytvis_2021_train_dense6_nms": (
+        "ytvis_2021/train/JPEGImages", "ytvis_2021/train/dense6_nms_annotations.json"),
     "ovis_val": ("ovis/valid", "ovis/annotations_valid.json"),
     "mose_train": ("mose/train/JPEGImages", "mose/train/annotations.json"),
     "sav_train": ("sa_v/train/JPEGImages", "sa_v/train/annotations.json"),
