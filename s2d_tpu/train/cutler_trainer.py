@@ -71,6 +71,94 @@ class CutlerTrainerConfig:
     no_segm: bool = False
 
 
+def load_cutler_yaml(path: str) -> Tuple[dict, dict, dict]:
+    """d2-style CutLER yaml -> (trainer-field dict, rcnn-field dict,
+    datasets dict).
+
+    Accepts the reference's config surface (`cutler/model_zoo/configs/*`,
+    `configs/cuts3d/*`: Base-RCNN-FPN inheritance via `_BASE_`) and maps
+    the keys this trainer models; unmapped d2 keys (backbone internals,
+    pooler shapes, PRECISE_BN, ...) are accepted and ignored — they
+    configure detectron2 plumbing that has no analog here. MIN_SIZE_TRAIN
+    scale lists collapse to their median (our mapper resizes to ONE
+    static train size; the reference samples per step)."""
+    import statistics
+
+    from ..config.loader import _load_yaml_with_base
+
+    y = _load_yaml_with_base(path)
+    model = y.get("MODEL", {})
+    solver = y.get("SOLVER", {})
+    dl = y.get("DATALOADER", {})
+    inp = y.get("INPUT", {})
+    test = y.get("TEST", {})
+    roi = model.get("ROI_HEADS", {})
+    rpn = model.get("RPN", {})
+
+    fields: dict = {}
+    rcnn: dict = {}
+
+    def put(d, key, val):
+        if val is not None:
+            d[key] = val
+
+    put(fields, "pixel_mean", tuple(model["PIXEL_MEAN"]) if "PIXEL_MEAN" in model else None)
+    put(fields, "pixel_std", tuple(model["PIXEL_STD"]) if "PIXEL_STD" in model else None)
+    put(fields, "copy_paste", dl.get("COPY_PASTE"))
+    put(fields, "copy_paste_rate", dl.get("COPY_PASTE_RATE"))
+    put(fields, "copy_paste_min_ratio", dl.get("COPY_PASTE_MIN_RATIO"))
+    put(fields, "copy_paste_max_ratio", dl.get("COPY_PASTE_MAX_RATIO"))
+    put(fields, "copy_paste_random_num", dl.get("COPY_PASTE_RANDOM_NUM"))
+    put(fields, "base_lr", solver.get("BASE_LR"))
+    put(fields, "momentum", solver.get("MOMENTUM"))
+    put(fields, "weight_decay", solver.get("WEIGHT_DECAY"))
+    put(fields, "base_lr_multiplier", solver.get("BASE_LR_MULTIPLIER"))
+    if solver.get("BASE_LR_MULTIPLIER_NAMES") is not None:
+        fields["base_lr_multiplier_names"] = tuple(
+            solver["BASE_LR_MULTIPLIER_NAMES"]
+        )
+    if solver.get("STEPS") is not None:
+        steps = solver["STEPS"]
+        if isinstance(steps, str):
+            steps = eval(steps)  # yacs tuple-as-string
+        fields["steps"] = tuple(steps)
+    put(fields, "gamma", solver.get("GAMMA"))
+    put(fields, "warmup_iters", solver.get("WARMUP_ITERS"))
+    put(fields, "warmup_factor", solver.get("WARMUP_FACTOR"))
+    put(fields, "max_iter", solver.get("MAX_ITER"))
+    clip = solver.get("CLIP_GRADIENTS", {})
+    if clip.get("ENABLED"):
+        put(fields, "clip_value", clip.get("CLIP_VALUE"))
+    if inp.get("MIN_SIZE_TRAIN") is not None:
+        sizes = inp["MIN_SIZE_TRAIN"]
+        if isinstance(sizes, str):
+            sizes = eval(sizes)
+        if isinstance(sizes, (list, tuple)):
+            fields["min_size_train"] = int(statistics.median(sizes))
+        else:
+            fields["min_size_train"] = int(sizes)
+    put(fields, "score_thresh", roi.get("SCORE_THRESH_TEST"))
+    put(fields, "nms_thresh", roi.get("NMS_THRESH_TEST"))
+    put(fields, "detections_per_image", test.get("DETECTIONS_PER_IMAGE"))
+    put(fields, "no_segm", test.get("NO_SEGM"))
+
+    put(rcnn, "num_classes", roi.get("NUM_CLASSES"))
+    put(rcnn, "droploss_iou_thresh", roi.get("DROPLOSS_IOU_THRESH"))
+    put(rcnn, "rpn_nms_thresh", rpn.get("NMS_THRESH"))
+    put(rcnn, "pre_nms_topk", rpn.get("PRE_NMS_TOPK_TEST"))
+    put(rcnn, "mask_on", model.get("MASK_ON"))
+
+    datasets = {}
+    ds = y.get("DATASETS", {})
+    for k in ("TRAIN", "TEST"):
+        v = ds.get(k)
+        if isinstance(v, str):
+            v = eval(v)
+        if v:
+            datasets[k.lower()] = v[0] if isinstance(v, (list, tuple)) else v
+    return fields, rcnn, datasets
+
+
 def build_cutler_optimizer(
     params,
     cfg: CutlerTrainerConfig,

@@ -177,3 +177,25 @@ def test_train_net_cli_copy_paste(synthetic_coco, tmp_path):
     ]) == 0
     lines = [json.loads(l) for l in open(os.path.join(out, "metrics.json"))]
     assert len(lines) == 2 and np.isfinite(lines[-1]["total_loss"])
+
+
+def test_cutler_yaml_config_mapping():
+    """d2-style CutLER yaml (cuts3d surface) maps onto the trainer config;
+    _BASE_ inheritance and CLI-override precedence hold."""
+    from s2d_tpu.train.cutler_trainer import load_cutler_yaml
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..",
+        "configs/cuts3d/original_cascade_mask_rcnn_R_50_FPN.yaml",
+    )
+    fields, rcnn, datasets = load_cutler_yaml(path)
+    assert fields["copy_paste"] is True
+    assert fields["base_lr"] == 0.01           # child overrides base's 0.02
+    assert fields["steps"] == (80000,)
+    assert fields["clip_value"] == 1.0         # CLIP_GRADIENTS.ENABLED
+    assert fields["min_size_train"] == 688     # median of the scale list
+    assert rcnn == {"num_classes": 1, "droploss_iou_thresh": 0.01,
+                    "rpn_nms_thresh": 0.65, "pre_nms_topk": 1000,
+                    "mask_on": True}
+    assert datasets == {"train": "imagenet_train_cls_agnostic",
+                        "test": "ytvis_2021_train"}

@@ -22,8 +22,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="s2d_tpu CutLER trainer")
-    p.add_argument("--train-dataset", default="imagenet_train_cls_agnostic")
-    p.add_argument("--test-dataset", default="cls_agnostic_coco")
+    p.add_argument("--config-file", default="", metavar="FILE",
+                   help="d2-style CutLER yaml (reference model_zoo/cuts3d "
+                        "surface); explicit CLI flags override it")
+    p.add_argument("--train-dataset", default=None)
+    p.add_argument("--test-dataset", default=None)
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-segm", action="store_true",
@@ -71,10 +74,23 @@ def main(argv=None):
     )
     from s2d_tpu.utils.events import MetricLogger
 
-    rcnn_over = {}
+    yaml_fields, yaml_rcnn, yaml_datasets = {}, {}, {}
+    if args.config_file:
+        from s2d_tpu.train.cutler_trainer import load_cutler_yaml
+
+        yaml_fields, yaml_rcnn, yaml_datasets = load_cutler_yaml(args.config_file)
+    train_dataset = args.train_dataset or yaml_datasets.get(
+        "train", "imagenet_train_cls_agnostic")
+    test_dataset = args.test_dataset or yaml_datasets.get(
+        "test", "cls_agnostic_coco")
+
+    rcnn_over = dict(yaml_rcnn)
     if args.num_proposals:
         rcnn_over["num_proposals"] = args.num_proposals
-    over = {"no_segm": args.no_segm, "rcnn": CutlerConfig(**rcnn_over)}
+    over = dict(yaml_fields)
+    over["rcnn"] = CutlerConfig(**rcnn_over)
+    if args.no_segm:
+        over["no_segm"] = True
     if args.copy_paste:
         over["copy_paste"] = True
     if args.copy_paste_rate is not None:
@@ -101,7 +117,7 @@ def main(argv=None):
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")
 
     if not args.eval_only:
-        dicts, _ = get_coco_dataset(args.train_dataset)
+        dicts, _ = get_coco_dataset(train_dataset)
         tx = build_cutler_optimizer(params, cfg)
         opt_state = tx.init(params)
         start = 0
@@ -167,7 +183,7 @@ def main(argv=None):
     from s2d_tpu.train.cutler_trainer import paste_masks
 
     do_segm = cfg.rcnn.mask_on and not cfg.no_segm
-    dicts, meta = get_coco_dataset(args.test_dataset)
+    dicts, meta = get_coco_dataset(test_dataset)
     if args.max_images:
         dicts = dicts[: args.max_images]
     num_classes = max(len(meta["thing_classes"]), 1)
@@ -238,7 +254,7 @@ def main(argv=None):
                 gt_masks, pred_masks, use_cats=num_classes > 1
             ).items()
         })
-    print(f"[{args.test_dataset}] " + "  ".join(
+    print(f"[{test_dataset}] " + "  ".join(
         f"{k}: {v:.4f}" for k, v in metrics.items()
     ))
     return 0
