@@ -143,7 +143,11 @@ def load_cutler_yaml(path: str) -> Tuple[dict, dict, dict]:
     put(fields, "no_segm", test.get("NO_SEGM"))
 
     put(rcnn, "num_classes", roi.get("NUM_CLASSES"))
-    put(rcnn, "droploss_iou_thresh", roi.get("DROPLOSS_IOU_THRESH"))
+    if roi.get("USE_DROPLOSS") is False:
+        # thresh -1 keeps every proposal's loss (best_iou > -1 always)
+        rcnn["droploss_iou_thresh"] = -1.0
+    else:
+        put(rcnn, "droploss_iou_thresh", roi.get("DROPLOSS_IOU_THRESH"))
     put(rcnn, "rpn_nms_thresh", rpn.get("NMS_THRESH"))
     put(rcnn, "pre_nms_topk", rpn.get("PRE_NMS_TOPK_TEST"))
     put(rcnn, "mask_on", model.get("MASK_ON"))
