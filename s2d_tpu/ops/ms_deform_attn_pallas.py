@@ -306,27 +306,37 @@ def _run_bwd(v_ts, g, idx, wts, *, spatial_shapes, d, q_tile, compute_dtype,
 
 
 def _prep_operands(value, spatial_shapes, sampling_locations,
-                   attention_weights, compute_dtype):
+                   attention_weights, compute_dtype, orient="y"):
     """value/locs/weights -> per-level V_t tensors + ONE packed corner
     index/weight pair covering all (level, point) combinations, plus the
-    per-level frac context the backward chain rule needs."""
+    per-level frac context the backward chain rule needs.
+
+    `orient` picks which spatial axis rides the MXU (K, padded to 128)
+    vs the VPU blend (output rows x D):
+      * "y":   K = H, output rows = W*D (the original layout);
+      * "swap": K = W, output rows = H*D;
+      * "auto": per level, put the SMALLER axis in the output — since K
+        pads to 128 regardless, MXU FLOPs and the VPU epilogue both scale
+        with output rows, so min(H, W)*D wins (H/W = 0.575 at the eval
+        protocol => ~42% fewer padded FLOPs per level).
+    The kernel itself is orientation-agnostic: a swapped level just feeds
+    it (W, H) as its "spatial shape" with the x/y corner roles exchanged.
+    """
     b, s, m, d = value.shape
     _, lq, _, n_levels, p, _ = sampling_locations.shape
     n = b * m
     f32 = jnp.float32
 
     v_ts = []
-    idx_rows = {0: [], 1: []}  # ya | x0
-    wts_rows = {k: [] for k in range(4)}  # wy0 | wy1 | wx0*aw | wx1*aw
+    kernel_shapes = []  # (K axis, blend axis) as the kernel sees them
+    idx_rows = {0: [], 1: []}  # K-corner | blend-corner
+    wts_rows = {k: [] for k in range(4)}
     fracs = []
     start = 0
     for lid, (hh, ww) in enumerate(spatial_shapes):
-        k = _round_up(hh, 128)
-        # (B, H*W, M, D) -> (N, W*D, H), zero pad rows past H
+        swapped = orient == "swap" or (orient == "auto" and hh < ww)
         v = value[:, start : start + hh * ww].astype(compute_dtype)
-        v = v.reshape(b, hh, ww, m, d).transpose(0, 3, 2, 4, 1)
-        v_t = v.reshape(n, ww * d, hh)
-        v_ts.append(jnp.pad(v_t, ((0, 0), (0, 0), (0, k - hh))))
+        v = v.reshape(b, hh, ww, m, d)
 
         loc = sampling_locations[:, :, :, lid].astype(f32)
         loc = loc.transpose(0, 2, 1, 3, 4).reshape(n, lq, p, 2)
@@ -340,20 +350,41 @@ def _prep_operands(value, spatial_shapes, sampling_locations,
         fy = iy - y0f
         y0 = y0f.astype(jnp.int32)
         x0 = x0f.astype(jnp.int32)
-        ya = jnp.where((y0 >= -1) & (y0 <= hh - 1), y0, -5)
-        top_ok = y0 >= 0
-        bot_ok = y0 <= hh - 2
 
         def rows(a):  # (N, Lq, P) -> (N, P, Lq)
             return a.transpose(0, 2, 1)
 
-        idx_rows[0].append(rows(ya))
-        idx_rows[1].append(rows(x0))
-        wts_rows[0].append(rows(jnp.where(top_ok, 1.0 - fy, 0.0)))
-        wts_rows[1].append(rows(jnp.where(bot_ok, fy, 0.0)))
-        wts_rows[2].append(rows((1.0 - fx) * aw))
-        wts_rows[3].append(rows(fx * aw))
-        fracs.append((fx, fy, top_ok, bot_ok, aw))
+        if not swapped:
+            k = _round_up(hh, 128)
+            # (B, H, W, M, D) -> (N, W*D, H), zero pad rows past H
+            v_t = v.transpose(0, 3, 2, 4, 1).reshape(n, ww * d, hh)
+            v_ts.append(jnp.pad(v_t, ((0, 0), (0, 0), (0, k - hh))))
+            kernel_shapes.append((hh, ww))
+            ka = jnp.where((y0 >= -1) & (y0 <= hh - 1), y0, -5)
+            ok0 = y0 >= 0
+            ok1 = y0 <= hh - 2
+            idx_rows[0].append(rows(ka))
+            idx_rows[1].append(rows(x0))
+            wts_rows[0].append(rows(jnp.where(ok0, 1.0 - fy, 0.0)))
+            wts_rows[1].append(rows(jnp.where(ok1, fy, 0.0)))
+            wts_rows[2].append(rows((1.0 - fx) * aw))
+            wts_rows[3].append(rows(fx * aw))
+        else:
+            k = _round_up(ww, 128)
+            # (B, H, W, M, D) -> (N, H*D, W), zero pad rows past W
+            v_t = v.transpose(0, 3, 1, 4, 2).reshape(n, hh * d, ww)
+            v_ts.append(jnp.pad(v_t, ((0, 0), (0, 0), (0, k - ww))))
+            kernel_shapes.append((ww, hh))
+            ka = jnp.where((x0 >= -1) & (x0 <= ww - 1), x0, -5)
+            ok0 = x0 >= 0
+            ok1 = x0 <= ww - 2
+            idx_rows[0].append(rows(ka))
+            idx_rows[1].append(rows(y0))
+            wts_rows[0].append(rows(jnp.where(ok0, 1.0 - fx, 0.0)))
+            wts_rows[1].append(rows(jnp.where(ok1, fx, 0.0)))
+            wts_rows[2].append(rows((1.0 - fy) * aw))
+            wts_rows[3].append(rows(fy * aw))
+        fracs.append((swapped, fx, fy, ok0, ok1, aw))
         start += hh * ww
 
     # kind-major, then level, then point: (N, kinds*L*P, Lq)
@@ -363,13 +394,16 @@ def _prep_operands(value, spatial_shapes, sampling_locations,
     wts = jnp.concatenate(
         [jnp.concatenate(wts_rows[k], axis=1) for k in range(4)], axis=1
     )
-    return v_ts, idx, wts, fracs
+    return v_ts, idx, wts, fracs, kernel_shapes
 
 
-def _unpack_dv(dv_t, hh, ww, b, m, d, value_dtype):
-    """dV_t (N, W*D, K) -> (B, H*W, M, D) level slice."""
+def _unpack_dv(dv_t, hh, ww, b, m, d, value_dtype, swapped=False):
+    """dV_t (N, blend*D, K) -> (B, H*W, M, D) level slice."""
     n = b * m
-    dv = dv_t[:, :, :hh].reshape(n, ww, d, hh).transpose(0, 3, 1, 2)
+    if swapped:
+        dv = dv_t[:, :, :ww].reshape(n, hh, d, ww).transpose(0, 1, 3, 2)
+    else:
+        dv = dv_t[:, :, :hh].reshape(n, ww, d, hh).transpose(0, 3, 1, 2)
     return dv.reshape(b, m, hh * ww, d).transpose(0, 2, 1, 3).astype(
         value_dtype
     )
@@ -399,17 +433,17 @@ def _msda_pallas(
 
 def _msda_pallas_fwd(static, value, sampling_locations, attention_weights,
                      compute_dtype, q_tile, interpret):
-    spatial_shapes, b, m = static
+    spatial_shapes, b, m, orient = static
     d = value.shape[-1]
     lq = sampling_locations.shape[1]
     n = b * m
 
-    v_ts, idx, wts, _ = _prep_operands(
+    v_ts, idx, wts, _, kernel_shapes = _prep_operands(
         value, spatial_shapes, sampling_locations, attention_weights,
-        compute_dtype,
+        compute_dtype, orient,
     )
     sampled = _run_fwd(
-        v_ts, idx, wts, spatial_shapes=spatial_shapes, d=d, q_tile=q_tile,
+        v_ts, idx, wts, spatial_shapes=kernel_shapes, d=d, q_tile=q_tile,
         compute_dtype=compute_dtype, interpret=interpret,
     )  # (N, D, Lq) f32 — levels and points accumulated
     result = (
@@ -422,16 +456,16 @@ def _msda_pallas_fwd(static, value, sampling_locations, attention_weights,
 
 def _msda_pallas_bwd(static, compute_dtype, q_tile, interpret, residuals,
                      gout):
-    spatial_shapes, b, m = static
+    spatial_shapes, b, m, orient = static
     value, sampling_locations, attention_weights = residuals
     d = value.shape[-1]
     _, lq, _, n_levels, p, _ = sampling_locations.shape
     n = b * m
     f32 = jnp.float32
 
-    v_ts, idx, wts, fracs = _prep_operands(
+    v_ts, idx, wts, fracs, kernel_shapes = _prep_operands(
         value, spatial_shapes, sampling_locations, attention_weights,
-        compute_dtype,
+        compute_dtype, orient,
     )
     g = (
         gout.astype(f32)
@@ -440,13 +474,14 @@ def _msda_pallas_bwd(static, compute_dtype, q_tile, interpret, residuals,
         .reshape(n, d, lq)
     )
     dv_ts, dwts = _run_bwd(
-        v_ts, g, idx, wts, spatial_shapes=spatial_shapes, d=d,
+        v_ts, g, idx, wts, spatial_shapes=kernel_shapes, d=d,
         q_tile=q_tile, compute_dtype=compute_dtype, interpret=interpret,
     )
 
     dvalue = jnp.concatenate(
         [
-            _unpack_dv(dv_ts[lid], hh, ww, b, m, d, value.dtype)
+            _unpack_dv(dv_ts[lid], hh, ww, b, m, d, value.dtype,
+                       swapped=fracs[lid][0])
             for lid, (hh, ww) in enumerate(spatial_shapes)
         ],
         axis=1,
@@ -457,17 +492,26 @@ def _msda_pallas_bwd(static, compute_dtype, q_tile, interpret, residuals,
     daw_levels = []
     for lid in range(n_levels):
         hh, ww = spatial_shapes[lid]
-        fx, fy, top_ok, bot_ok, aw = fracs[lid]
+        swapped, fx, fy, ok0, ok1, aw = fracs[lid]
 
         def grab(kind):  # (N, P, Lq) -> (N, Lq, P)
             rows = dwts[:, kind * stride + lid * p : kind * stride
                         + lid * p + p]
             return rows.transpose(0, 2, 1)
 
-        dwy0, dwy1, dwx0, dwx1 = (grab(k) for k in range(4))
-        dfy = jnp.where(bot_ok, dwy1, 0.0) - jnp.where(top_ok, dwy0, 0.0)
-        dfx = (dwx1 - dwx0) * aw
-        daw = dwx0 * (1.0 - fx) + dwx1 * fx
+        dw0, dw1, dw2, dw3 = (grab(k) for k in range(4))
+        if not swapped:
+            # kinds: (wy0, wy1) pure y-corner wts on the MXU side,
+            # (wx0*aw, wx1*aw) on the blend side
+            dfy = jnp.where(ok1, dw1, 0.0) - jnp.where(ok0, dw0, 0.0)
+            dfx = (dw3 - dw2) * aw
+            daw = dw2 * (1.0 - fx) + dw3 * fx
+        else:
+            # kinds: (wx0, wx1) pure x-corner wts on the MXU side,
+            # (wy0*aw, wy1*aw) on the blend side
+            dfx = jnp.where(ok1, dw1, 0.0) - jnp.where(ok0, dw0, 0.0)
+            dfy = (dw3 - dw2) * aw
+            daw = dw2 * (1.0 - fy) + dw3 * fy
         dloc_levels.append(
             jnp.stack([dfx * ww, dfy * hh], axis=-1)
             .reshape(b, m, lq, p, 2)
@@ -494,18 +538,23 @@ def ms_deform_attn_pallas(
     compute_dtype=jnp.bfloat16,
     q_tile: int = 512,
     interpret: bool = False,
+    orient: str = "y",
 ) -> jnp.ndarray:
     """Multi-scale deformable attention via the separable MXU kernels.
 
     Same contract as `ms_deform_attn` (ms_deform_attn.py): returns
     (B, Lq, M*D) attended features. Differentiable (custom VJP backed by
-    the transposed kernel).
+    the transposed kernel). `orient`: "y" (original: K=H), "swap" (K=W),
+    or "auto" (per level, smaller axis to the output — fewer padded-K
+    FLOPs; see _prep_operands). "y" stays the default until the swapped
+    layout is measured on hardware.
     """
     b, s, m, d = value.shape
     assert sum(hh * ww for hh, ww in spatial_shapes) == s
     assert len(spatial_shapes) == sampling_locations.shape[3]
+    assert orient in ("y", "swap", "auto")
     return _msda_pallas(
-        (tuple(spatial_shapes), b, m),
+        (tuple(spatial_shapes), b, m, orient),
         value,
         sampling_locations,
         attention_weights,

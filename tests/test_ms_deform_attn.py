@@ -180,3 +180,59 @@ def test_msda_jit_compiles():
     fn = jax.jit(lambda v, l, a: ms_deform_attn(v, shapes, l, a))
     out = fn(jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
     assert out.shape == (value.shape[0], locs.shape[1], value.shape[2] * value.shape[3])
+
+
+@pytest.mark.parametrize("orient", ["swap", "auto"])
+def test_msda_pallas_orient_matches_oracle(orient):
+    """Swapped-axis orientation (K = W, output rows = H*D): same math,
+    ~42% fewer padded-K FLOPs at wide aspect ratios. Forward parity vs
+    the numpy oracle, incl. out-of-range sampling points."""
+    from s2d_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas
+
+    value, shapes, locs, w = _random_inputs(seed=11, b=2, lq=9, m=2, d=4, p=4)
+    ref = numpy_msda_oracle(
+        value.astype(np.float64), shapes, locs.astype(np.float64),
+        w.astype(np.float64)
+    )
+    out = np.asarray(
+        ms_deform_attn_pallas(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w),
+            compute_dtype=jnp.float32, q_tile=128, interpret=True,
+            orient=orient,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_msda_pallas_orient_grad_matches_xla():
+    """Swapped orientation backward: custom VJP vs jax.grad of the XLA
+    path, all three operand grads."""
+    from s2d_tpu.ops.ms_deform_attn import _ms_deform_attn_xla
+    from s2d_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas
+
+    value, shapes, locs, w = _random_inputs(seed=13, b=2, lq=9, m=2, d=4, p=4)
+    value, locs, w = jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w)
+    cot = jnp.asarray(
+        np.random.RandomState(1).randn(2, 9, 8).astype(np.float32)
+    )
+
+    def f_ref(v, l, a):
+        return jnp.sum(_ms_deform_attn_xla(v, shapes, l, a) * cot)
+
+    def f_pal(v, l, a):
+        return jnp.sum(
+            ms_deform_attn_pallas(
+                v, shapes, l, a,
+                compute_dtype=jnp.float32, q_tile=128, interpret=True,
+                orient="auto",
+            )
+            * cot
+        )
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(value, locs, w)
+    g_pal = jax.grad(f_pal, argnums=(0, 1, 2))(value, locs, w)
+    for name, a, b_ in zip(("value", "locs", "attn"), g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=1e-3, atol=1e-4,
+            err_msg=name,
+        )
