@@ -57,11 +57,16 @@ def ms_deform_attn(
     Returns:
       (B, Lq, M * D) attended features.
     """
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_auto"):
         from .ms_deform_attn_pallas import ms_deform_attn_pallas
 
         return ms_deform_attn_pallas(
-            value, tuple(spatial_shapes), sampling_locations, attention_weights
+            value, tuple(spatial_shapes), sampling_locations,
+            attention_weights,
+            # "pallas_auto": per-level axis orientation with the smaller
+            # spatial axis in the output (~42% fewer padded-K FLOPs at
+            # wide aspect ratios); "pallas" keeps the original layout
+            orient="auto" if impl == "pallas_auto" else "y",
         )
     return _ms_deform_attn_xla(
         value, tuple(spatial_shapes), sampling_locations, attention_weights,
