@@ -122,8 +122,11 @@ def inner():
     # O(Q x K_tile) memory bound on long whole-video buckets, where the
     # eval CLI enables it).
     on_tpu = jax.default_backend() == "tpu"
+    # S2D_MSDA_IMPL overrides for A/B runs (e.g. pallas_auto = the
+    # swapped-orientation kernel)
+    msda = os.environ.get("S2D_MSDA_IMPL") or ("pallas" if on_tpu else None)
     model = build_model(
-        cfg, msda_impl="pallas" if on_tpu else None
+        cfg, msda_impl=msda
     )  # bf16 compute, fp32 pixel decoder
     rng = jax.random.PRNGKey(0)
 
