@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--hw", type=str, default="368x640")
     ap.add_argument("--n-targets", type=int, default=25)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--msda-orient", default="y", choices=["y", "auto"],
+                    help="pallas axis orientation (auto = swapped layout)")
     ap.add_argument("--teacher-pallas", action="store_true",
                     help="pallas MSDA for the no-grad teacher forward")
     ap.add_argument("--student-pallas", action="store_true",
@@ -93,7 +95,8 @@ def main():
 
     model = build_model(
         cfg,
-        msda_impl="pallas" if args.student_pallas else "xla_gather",
+        msda_impl=("pallas_auto" if args.msda_orient == "auto" else "pallas")
+        if args.student_pallas else "xla_gather",
         grad_checkpoint=True,
     )
     rng = jax.random.PRNGKey(0)
@@ -125,7 +128,10 @@ def main():
     if args.teacher_pallas:
         from s2d_tpu.models.meta_arch import build_model as _bm
 
-        teacher_model = _bm(cfg, msda_impl="pallas")
+        teacher_model = _bm(
+            cfg,
+            msda_impl="pallas_auto" if args.msda_orient == "auto" else "pallas",
+        )
     step_fn = jax.jit(
         make_train_step(model, cfg, tx, teacher_model=teacher_model)
     )
