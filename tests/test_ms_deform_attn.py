@@ -236,3 +236,25 @@ def test_msda_pallas_orient_grad_matches_xla():
             np.asarray(b_), np.asarray(a), rtol=1e-3, atol=1e-4,
             err_msg=name,
         )
+
+
+def test_msda_orient_auto_swaps_protocol_levels():
+    """At the eval protocol's wide levels, 'auto' puts H in the output and
+    W on the padded-K axis (that's the FLOP win); square levels stay."""
+    from s2d_tpu.ops.ms_deform_attn_pallas import _prep_operands
+
+    rng = np.random.RandomState(0)
+    shapes = [(46, 80), (23, 40), (12, 12)]
+    s = sum(h * w for h, w in shapes)
+    b, lq, m, d, p = 1, 5, 1, 4, 2
+    value = jnp.asarray(rng.randn(b, s, m, d).astype(np.float32))
+    locs = jnp.asarray(rng.rand(b, lq, m, 3, p, 2).astype(np.float32))
+    w = jnp.asarray(rng.rand(b, lq, m, 3, p).astype(np.float32))
+
+    v_ts, _, _, fracs, kshapes = _prep_operands(
+        value, shapes, locs, w, jnp.float32, orient="auto")
+    assert kshapes == [(80, 46), (40, 23), (12, 12)]
+    assert [f[0] for f in fracs] == [True, True, False]
+    # output rows = blend_axis * d; K padded to 128
+    assert v_ts[0].shape == (1, 46 * d, 128)
+    assert v_ts[2].shape == (1, 12 * d, 128)
