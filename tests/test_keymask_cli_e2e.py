@@ -70,3 +70,25 @@ def test_keymask_cli_end_to_end(discovery_tree):
     # candidate masks exported
     cand_dir = os.path.join(out_root, "candidates", "vid0")
     assert os.path.isdir(cand_dir) and os.listdir(cand_dir)
+
+
+def test_keymask_cli_cotracker_backend(discovery_tree, tmp_path):
+    """The CLI's --tracker cotracker path: neural-tracker backend (random
+    init, no checkpoint) drives the same pipeline end-to-end."""
+    import keymask_ident
+
+    frames_root, masks_root, _ = discovery_tree
+    out_root = str(tmp_path / "out_ct")
+    rc = keymask_ident.main([
+        "--frames-root", frames_root,
+        "--masks-root", masks_root,
+        "--output-root", out_root,
+        "--tracker", "cotracker",
+        "--grid-size", "8",
+        "--dbscan-min-samples", "2",
+        "--matching-threshold", "0.3",
+    ])
+    assert rc == 0
+    anns = os.listdir(os.path.join(out_root, "annotations"))
+    assert len(anns) == 1  # pipeline completed (content depends on the
+    # random-init tracker; correctness of the net is test_cotracker.py's)
