@@ -258,3 +258,29 @@ def test_msda_orient_auto_swaps_protocol_levels():
     # output rows = blend_axis * d; K padded to 128
     assert v_ts[0].shape == (1, 46 * d, 128)
     assert v_ts[2].shape == (1, 12 * d, 128)
+
+
+def test_msda_pallas_swap_wide_level_multitile_k():
+    """Swapped orientation with W > 128: the padded-K axis spans multiple
+    128 tiles (mirror of the tall-level test for orient='y')."""
+    from s2d_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas
+
+    rng = np.random.RandomState(17)
+    shapes = [(3, 130)]
+    s = sum(h * w for h, w in shapes)
+    b, lq, m, d, p = 1, 11, 1, 4, 3
+    value = rng.randn(b, s, m, d).astype(np.float32)
+    locs = rng.uniform(-0.1, 1.1, size=(b, lq, m, 1, p, 2)).astype(np.float32)
+    w = rng.rand(b, lq, m, 1, p).astype(np.float32)
+    ref = numpy_msda_oracle(
+        value.astype(np.float64), shapes, locs.astype(np.float64),
+        w.astype(np.float64)
+    )
+    out = np.asarray(
+        ms_deform_attn_pallas(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w),
+            compute_dtype=jnp.float32, q_tile=128, interpret=True,
+            orient="auto",
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
