@@ -9,6 +9,7 @@ from .matching import (
     adaptive_grid_size,
     group_quality,
     match_candidate,
+    match_candidates,
     match_matrix,
     point_mask_iou,
     temporal_correspondence_clustering,
@@ -32,6 +33,7 @@ __all__ = [
     "adaptive_grid_size",
     "group_quality",
     "match_candidate",
+    "match_candidates",
     "match_matrix",
     "point_mask_iou",
     "temporal_correspondence_clustering",

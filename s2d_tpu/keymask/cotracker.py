@@ -145,6 +145,13 @@ def _corr_features(fmaps_rows, coords, level_shapes, track_feat, radius=3):
 
 
 class CoTrackerNet(nn.Module):
+    """Split into `encode` (video -> feature pyramid; depends only on the
+    video) and `refine` (pyramid + queries -> tracks): the discovery
+    pipeline calls track() once per (seed frame, mask) on the SAME video
+    (reference `cotracker_occlusions.py:243-396` double loop), so the
+    stride-4 CNN over every resized frame is per-VIDEO work the wrapper
+    caches, and each call pays only correlation + update-transformer."""
+
     latent_dim: int = 128
     dim: int = 256
     heads: int = 8
@@ -153,23 +160,34 @@ class CoTrackerNet(nn.Module):
     levels: int = 3
     radius: int = 3
 
-    @nn.compact
-    def __call__(self, frames, queries, query_frame: int):
-        """frames (T, H, W, 3) in [0,1]-ish; queries (P, 2) xy pixels.
-        Returns (tracks (T, P, 2) pixels, visibility (T, P) in [0,1])."""
-        t = frames.shape[0]
-        p = queries.shape[0]
-        fmaps = FeatureEncoder(self.latent_dim, name="fnet")(frames)
-        _, h4, w4, c = fmaps.shape
+    def setup(self):
+        # attribute names fix the param-tree paths the torch-checkpoint
+        # converter's key table is built on (fnet.*, updateformer.*, ...)
+        self.fnet = FeatureEncoder(self.latent_dim)
+        self.input_proj = nn.Dense(self.dim)
+        self.delta_head = nn.Dense(3)  # (dx, dy, dvis)
+        self.updateformer = UpdateFormer(self.dim, self.heads, self.depth)
+        self.time_embed = self.param(
+            "time_embed", nn.initializers.normal(0.02), (64, self.dim)
+        )
 
-        # pyramid of flattened rows
-        rows, shapes = [], []
-        f = fmaps
+    def encode(self, frames):
+        """frames (T, H, W, 3) -> per-level pyramid ((T, h, w, C), ...)."""
+        pyramid = []
+        f = self.fnet(frames)
         for _ in range(self.levels):
-            hh, ww = f.shape[1], f.shape[2]
-            rows.append(f.reshape(t, hh * ww, c))
-            shapes.append((hh, ww))
+            pyramid.append(f)
             f = nn.avg_pool(f, (2, 2), strides=(2, 2))
+        return tuple(pyramid)
+
+    def refine(self, pyramid, queries, query_frame):
+        """pyramid from `encode`; queries (P, 2) xy pixels (stride-1 units
+        of the encoded resolution). Returns (tracks (T, P, 2) pixels,
+        visibility (T, P) in [0,1])."""
+        t, h4, w4, c = pyramid[0].shape
+        p = queries.shape[0]
+        rows = [f.reshape(t, f.shape[1] * f.shape[2], c) for f in pyramid]
+        shapes = [(f.shape[1], f.shape[2]) for f in pyramid]
 
         q4 = queries / 4.0
         qnorm = jnp.stack([(q4[:, 0] + 0.5) / w4, (q4[:, 1] + 0.5) / h4],
@@ -179,34 +197,31 @@ class CoTrackerNet(nn.Module):
         )[0]  # (P, C)
 
         coords = jnp.broadcast_to(q4[None], (t, p, 2))
-        vis_logit = jnp.zeros((t, p), fmaps.dtype)
-
-        in_proj = nn.Dense(self.dim, name="input_proj")
-        delta_head = nn.Dense(3, name="delta_head")  # (dx, dy, dvis)
-        former = UpdateFormer(self.dim, self.heads, self.depth,
-                              name="updateformer")
-        time_embed = self.param(
-            "time_embed", nn.initializers.normal(0.02), (64, self.dim)
-        )
+        vis_logit = jnp.zeros((t, p), pyramid[0].dtype)
 
         for _ in range(self.iters):
             corr = _corr_features(rows, coords, shapes, track_feat,
                                   self.radius)
             rel = coords - coords[query_frame][None]
-            tokens = in_proj(jnp.concatenate(
+            tokens = self.input_proj(jnp.concatenate(
                 [corr, rel / 16.0, vis_logit[..., None]], axis=-1
             ))
-            tokens = tokens + time_embed[
-                jnp.minimum(jnp.arange(t), time_embed.shape[0] - 1)
+            tokens = tokens + self.time_embed[
+                jnp.minimum(jnp.arange(t), self.time_embed.shape[0] - 1)
             ][:, None, :]
-            out = former(tokens)
-            delta = delta_head(out)
+            out = self.updateformer(tokens)
+            delta = self.delta_head(out)
             coords = coords + delta[..., :2]
             vis_logit = vis_logit + delta[..., 2]
             # the query frame is anchored to the query coordinates
             coords = coords.at[query_frame].set(q4)
 
         return coords * 4.0, jax.nn.sigmoid(vis_logit)
+
+    def __call__(self, frames, queries, query_frame: int):
+        """frames (T, H, W, 3) in [0,1]-ish; queries (P, 2) xy pixels.
+        Returns (tracks (T, P, 2) pixels, visibility (T, P) in [0,1])."""
+        return self.refine(self.encode(frames), queries, query_frame)
 
 
 # ------------------------------------------------------- protocol wrapper
@@ -219,7 +234,13 @@ class CoTrackerTracker:
     Videos are resized to (interp_h, interp_w) internally (the blessed
     CoTracker checkpoints are trained at a fixed resolution the same way);
     coordinates are rescaled back. Point count pads to `point_bucket` so
-    jit re-traces only per (T, bucket)."""
+    jit re-traces only per (T, bucket).
+
+    The ENCODED feature pyramid is cached per video (not just the uploaded
+    frames): one `encode` pass (upload + resize + stride-4 CNN over T
+    frames) per video, then every (seed frame, mask) call runs only
+    `refine` — the same amortization DeviceVideoCache applies to the
+    correlation tracker's grey conversion."""
 
     params: Dict
     net: CoTrackerNet = dataclasses.field(default_factory=CoTrackerNet)
@@ -230,15 +251,17 @@ class CoTrackerTracker:
     def __post_init__(self):
         from .tracker import DeviceVideoCache
 
-        # upload the video once per video, as uint8 where possible, and
-        # normalize device-side: the remote transport's H2D bandwidth, not
-        # the network, dominated per-call latency (see DeviceVideoCache)
-        def to_device(v):
+        # upload as uint8 where possible and normalize device-side: the
+        # remote transport's H2D bandwidth dominated per-call latency
+        def to_pyramid(v):
             if v.dtype == np.uint8:
-                return _normalize_u8(jnp.asarray(v))
-            return jnp.asarray(np.asarray(v, np.float32) / 255.0)
+                vid = _normalize_u8(jnp.asarray(v))
+            else:
+                vid = jnp.asarray(np.asarray(v, np.float32) / 255.0)
+            return _encode_video(self.net, self.params, vid,
+                                 self.interp_h, self.interp_w)
 
-        self._video_cache = DeviceVideoCache(to_device)
+        self._pyramid_cache = DeviceVideoCache(to_pyramid)
 
     def track(self, video, queries, query_frame=0):
         video = np.asarray(video)
@@ -252,17 +275,59 @@ class CoTrackerTracker:
         q_scaled = q * np.asarray(
             [self.interp_w / w, self.interp_h / h], np.float32
         )
-        tracks, vis = _apply_net(
+        tracks, vis = _refine_net(
             self.net, self.params,
-            self._video_cache.get(video),
+            self._pyramid_cache.get(video),
             jnp.asarray(q_scaled),
             jnp.asarray(query_frame, jnp.int32),
-            self.interp_h, self.interp_w,
         )
         tracks = np.asarray(tracks)[:, :p] * np.asarray(
             [w / self.interp_w, h / self.interp_h], np.float32
         )
         return tracks, np.asarray(vis)[:, :p]
+
+    # chunk of (queries, seed frame) sets refined per device call; sets in
+    # a chunk vmap over the SAME cached pyramid (one dispatch)
+    batch_chunk: int = 8
+
+    def track_batch(self, video, queries_list, query_frames):
+        """Many (queries, seed frame) sets over the SAME video: the cached
+        pyramid is encoded once, then `refine` is vmapped over chunks of
+        sets (each set keeps its own track-attention group, matching the
+        reference's one-CoTracker-call-per-seed semantics,
+        cotracker_occlusions.py:345-356). Returns [(tracks, vis), ...]."""
+        video = np.asarray(video)
+        t, h, w = video.shape[:3]
+        b = len(queries_list)
+        if b == 0:
+            return []
+        pmax = max(len(q) for q in queries_list)
+        bucket = -(-max(pmax, 1) // self.point_bucket) * self.point_bucket
+        chunk = self.batch_chunk
+        bpad = -b % chunk
+        q = np.zeros((b + bpad, bucket, 2), np.float32)
+        for i, qi in enumerate(queries_list):
+            q[i, : len(qi)] = np.asarray(qi, np.float32)
+        q *= np.asarray([self.interp_w / w, self.interp_h / h], np.float32)
+        qf = np.concatenate(
+            [np.asarray(query_frames, np.int32),
+             np.zeros((bpad,), np.int32)]
+        )
+        pyramid = self._pyramid_cache.get(video)
+        scale_back = np.asarray(
+            [w / self.interp_w, h / self.interp_h], np.float32
+        )
+        out = []
+        for s in range(0, b, chunk):
+            tr, vi = _refine_net_vmapped(
+                self.net, self.params, pyramid,
+                jnp.asarray(q[s:s + chunk]), jnp.asarray(qf[s:s + chunk]),
+            )
+            tr, vi = np.asarray(tr), np.asarray(vi)
+            for i in range(min(chunk, b - s)):
+                n = len(queries_list[s + i])
+                out.append((tr[i, :, :n] * scale_back, vi[i, :, :n]))
+        return out
 
 
 @jax.jit
@@ -270,14 +335,28 @@ def _normalize_u8(video_u8):
     return video_u8.astype(jnp.float32) / 255.0
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6))
-def _apply_net(net, params, video, queries, query_frame, ih, iw):
-    # query_frame is TRACED (dynamic indexing inside the net): the discovery
-    # pipeline seeds every frame of every video, and a static seed frame
-    # would recompile the whole net per seed (minutes each, server-side)
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _encode_video(net, params, video, ih, iw):
     t = video.shape[0]
     frames = jax.image.resize(video, (t, ih, iw, 3), method="bilinear")
-    return net.apply(params, frames, queries, query_frame)
+    return net.apply(params, frames, method="encode")
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _refine_net(net, params, pyramid, queries, query_frame):
+    # query_frame is TRACED (dynamic indexing inside the net): the discovery
+    # pipeline seeds every frame of every video, and a static seed frame
+    # would recompile the refinement per seed (minutes each, server-side)
+    return net.apply(params, pyramid, queries, query_frame, method="refine")
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _refine_net_vmapped(net, params, pyramid, queries, query_frames):
+    """(B, P, 2) query sets + (B,) seed frames over ONE shared pyramid."""
+    def one(q, f):
+        return net.apply(params, pyramid, q, f, method="refine")
+
+    return jax.vmap(one)(queries, query_frames)
 
 
 # ------------------------------------------------------- torch import

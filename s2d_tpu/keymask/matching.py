@@ -78,6 +78,43 @@ def match_candidate(
     return matches
 
 
+def match_candidates(
+    video: np.ndarray,
+    tracker: PointTracker,
+    candidates: Sequence[Tuple[int, np.ndarray]],  # (seed_frame, mask)
+    frame_masks: Sequence[Dict[int, np.ndarray]],
+    matching_threshold: float = 0.5,
+) -> List[Dict[int, bool]]:
+    """All candidates of one video at once: identical results to per-
+    candidate `match_candidate` calls, but the point tracking batches into
+    a few device calls via `tracker.track_batch` when available (the
+    per-candidate loop pays one transport RPC + dispatch per track)."""
+    out: List[Dict[int, bool]] = [{} for _ in candidates]
+    pts_list, idxs = [], []
+    for i, (seed_frame, mask) in enumerate(candidates):
+        grid = adaptive_grid_size(mask.sum())
+        pts = grid_points_in_mask(mask, grid)
+        if len(pts) < 4:
+            continue
+        pts_list.append(pts)
+        idxs.append(i)
+    if hasattr(tracker, "track_batch"):
+        results = tracker.track_batch(
+            video, pts_list, [candidates[i][0] for i in idxs]
+        )
+    else:
+        results = [
+            tracker.track(video, pts, query_frame=candidates[i][0])
+            for pts, i in zip(pts_list, idxs)
+        ]
+    for i, (tracks, vis) in zip(idxs, results):
+        for fi, masks in enumerate(frame_masks):
+            for mid, mask in masks.items():
+                if point_mask_iou(tracks[fi], vis[fi], mask) > matching_threshold:
+                    out[i][mid] = True
+    return out
+
+
 def match_matrix(
     all_matches: List[Dict[int, bool]], all_ids: List[int]
 ) -> np.ndarray:

@@ -120,6 +120,9 @@ class CorrelationTracker:
     min_corr: float = 0.3
 
     point_bucket: int = 256
+    # max points per device call for track_batch (bounds the one-hot
+    # window-extraction workspace, ~50 KB/point at 384x512)
+    batch_points: int = 2048
 
     def __post_init__(self):
         self._video_cache = DeviceVideoCache(_grey_video_to_device)
@@ -136,10 +139,11 @@ class CorrelationTracker:
             queries = np.concatenate(
                 [queries, np.tile(queries[:1], (pad, 1))], axis=0
             )
+        qf = np.full((len(queries),), query_frame, np.int32)
         tracks, vis = _track_bidirectional(
             grey,
             jnp.asarray(queries),
-            jnp.asarray(query_frame, jnp.int32),
+            jnp.asarray(qf),
             self.patch,
             self.search,
             self.levels,
@@ -147,6 +151,48 @@ class CorrelationTracker:
             self.min_corr,
         )
         return np.asarray(tracks)[:, :p], np.asarray(vis)[:, :p]
+
+    def track_batch(self, video, queries_list, query_frames):
+        """Many (queries, seed frame) sets over the SAME video in a few
+        device calls. Points are independent in this tracker, so all sets
+        concatenate along the point axis with a per-POINT seed-frame vector
+        — exact-identical to per-set track() calls, minus the per-call
+        transport RPC + dispatch the discovery pipeline's T x masks loop
+        pays (the reference pays one CoTracker GPU call per seed,
+        cotracker_occlusions.py:345-356). Returns [(tracks, vis), ...]."""
+        grey = self._video_cache.get(np.asarray(video))
+        sizes = [len(q) for q in queries_list]
+        total = sum(sizes)
+        if total == 0:
+            return []
+        chunk = self.batch_points
+        pad = -total % chunk
+        q_all = np.concatenate(
+            [np.asarray(q, np.float32) for q in queries_list]
+            + ([np.zeros((pad, 2), np.float32)] if pad else []), axis=0
+        )
+        qf_all = np.concatenate(
+            [np.full((n,), f, np.int32)
+             for n, f in zip(sizes, query_frames)]
+            + ([np.zeros((pad,), np.int32)] if pad else []), axis=0
+        )
+        tracks_parts, vis_parts = [], []
+        for s in range(0, total, chunk):
+            tr, vi = _track_bidirectional(
+                grey, jnp.asarray(q_all[s:s + chunk]),
+                jnp.asarray(qf_all[s:s + chunk]),
+                self.patch, self.search, self.levels,
+                self.fb_threshold, self.min_corr,
+            )
+            tracks_parts.append(np.asarray(tr))
+            vis_parts.append(np.asarray(vi))
+        tracks = np.concatenate(tracks_parts, axis=1)
+        vis = np.concatenate(vis_parts, axis=1)
+        out, off = [], 0
+        for n in sizes:
+            out.append((tracks[:, off:off + n], vis[:, off:off + n]))
+            off += n
+        return out
 
 
 def _extract_windows(img, anchors, size, half):
@@ -250,11 +296,13 @@ def _track_bidirectional(
 ):
     """One jit for the WHOLE bidirectional track (un-jitted, the scan ops
     dispatched per-op over the remote transport: measured 5.0 s per call at
-    T=24, P=256 — vs one dispatch here). `query_frame` is a TRACED scalar:
-    both scans run over the full frame range with a started-mask (the carry
-    stays at `queries` until the pass reaches the seed frame), so seeding
-    from a different frame does NOT recompile — the reference pipeline
-    seeds every frame of every video (cotracker_occlusions.py:345-356)."""
+    T=24, P=256 — vs one dispatch here). `query_frame` is a TRACED (P,)
+    vector of PER-POINT seed frames: both scans run over the full frame
+    range with a per-point started-mask (each point's carry stays at its
+    query until the pass reaches its own seed frame), so seeding from a
+    different frame does NOT recompile AND points seeded at different
+    frames batch into one call — the reference pipeline seeds every frame
+    of every video (cotracker_occlusions.py:345-356)."""
     t, h, w = grey.shape
     p = queries.shape[0]
 
@@ -263,8 +311,8 @@ def _track_bidirectional(
             new_pts, corr = _match_step(
                 grey[fi], grey[fi + step], carry, patch, search, levels
             )
-            started = started_fn(fi)
-            pts = jnp.where(started, new_pts, queries)
+            started = started_fn(fi)  # (P,) bool
+            pts = jnp.where(started[:, None], new_pts, queries)
             corr = jnp.where(started, corr, 1.0)
             return pts, (pts, corr)
 
@@ -289,8 +337,8 @@ def _track_bidirectional(
     bc_all = jnp.concatenate([bcorr[::-1], jnp.ones((1, p))], axis=0)
 
     frames = jnp.arange(t)
-    use_f = (frames > query_frame)[:, None, None]
-    use_b = (frames < query_frame)[:, None, None]
+    use_f = (frames[:, None] > query_frame[None, :])[..., None]  # (t, p, 1)
+    use_b = (frames[:, None] < query_frame[None, :])[..., None]
     tracks = jnp.where(
         use_f, f_all, jnp.where(use_b, b_all, queries[None])
     )

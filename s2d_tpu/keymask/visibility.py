@@ -29,21 +29,34 @@ def extract_visibility_curves(
     """Returns one record per (seed frame, mask id):
     {frame, mask_id, visibility: (T,) mean point visibility}."""
     t = len(video)
-    records = []
+    seeds = []  # (frame, mask_id, points)
     for fi in range(t):
         for mask_id, mask in masks_per_frame[fi].items():
             pts = grid_points_in_mask(mask, grid_size)
             if len(pts) < min_points:
                 continue
-            _, vis = tracker.track(video, pts, query_frame=fi)
-            records.append(
-                {
-                    "frame": fi,
-                    "mask_id": int(mask_id),
-                    "visibility": vis.mean(axis=1).tolist(),
-                }
-            )
-    return records
+            seeds.append((fi, int(mask_id), pts))
+
+    if hasattr(tracker, "track_batch"):
+        # batch ALL seeds of the video into a few device calls (the
+        # per-seed loop pays one transport RPC + dispatch per call)
+        results = tracker.track_batch(
+            video, [pts for _, _, pts in seeds], [fi for fi, _, _ in seeds]
+        )
+    else:
+        results = [
+            tracker.track(video, pts, query_frame=fi)
+            for fi, _, pts in seeds
+        ]
+
+    return [
+        {
+            "frame": fi,
+            "mask_id": mask_id,
+            "visibility": vis.mean(axis=1).tolist(),
+        }
+        for (fi, mask_id, _), (_, vis) in zip(seeds, results)
+    ]
 
 
 def save_visibility_json(path: str, records: List[dict]) -> None:

@@ -48,6 +48,33 @@ def test_protocol_wrapper(tiny_net):
     np.testing.assert_allclose(tracks[0], queries, atol=0.5)
 
 
+def test_pyramid_cache_amortizes_encode(tiny_net):
+    """The encoded pyramid is computed once per video: repeat calls on the
+    same video reuse the cached device pyramid (identity) and match a
+    fresh tracker bit-for-bit; a different video misses the cache."""
+    from s2d_tpu.keymask.cotracker import CoTrackerTracker
+
+    net, params = tiny_net
+    kw = dict(params=params, net=net, interp_h=64, interp_w=64,
+              point_bucket=8)
+    tracker = CoTrackerTracker(**kw)
+    rng = np.random.RandomState(1)
+    video = rng.randint(0, 255, (3, 48, 96, 3), np.uint8)
+    queries = np.asarray([[12.0, 10.0], [80.0, 40.0]])
+
+    t1, v1 = tracker.track(video, queries, query_frame=0)
+    cached = tracker._pyramid_cache._value
+    t2, v2 = tracker.track(video, queries, query_frame=2)
+    assert tracker._pyramid_cache._value is cached  # hit, not re-encoded
+    # warm-cache results == fresh-tracker results (no stale-cache skew)
+    t3, v3 = CoTrackerTracker(**kw).track(video, queries, query_frame=2)
+    np.testing.assert_array_equal(t2, t3)
+    np.testing.assert_array_equal(v2, v3)
+    # a different video misses
+    tracker.track(rng.randint(0, 255, (3, 48, 96, 3), np.uint8), queries, 0)
+    assert tracker._pyramid_cache._value is not cached
+
+
 def test_converter_roundtrip(tiny_net):
     from s2d_tpu.keymask.cotracker import (
         convert_cotracker_state_dict,

@@ -225,3 +225,65 @@ def test_tracker_cache_reuse_same_results():
     t3, _ = tr.track(static, pts, 0)
     # on a static video tracks stay near the seed; on the moving one they move
     assert np.abs(t3[-1] - pts).max() < np.abs(t1[-1] - pts).max()
+
+
+def test_track_batch_matches_per_call():
+    """Batched multi-seed tracking is exactly the per-call results: points
+    are independent, so concatenation + per-point seed frames changes
+    nothing but the number of device calls."""
+    video, masks = _make_video()
+    tracker = CorrelationTracker(point_bucket=32, batch_points=64)
+    seeds = [(0, grid_points_in_mask(masks[0], 8)),
+             (2, grid_points_in_mask(masks[2], 10)),
+             (4, grid_points_in_mask(masks[4], 6))]
+    batched = tracker.track_batch(
+        video, [p for _, p in seeds], [f for f, _ in seeds]
+    )
+    assert len(batched) == 3
+    for (fi, pts), (bt, bv) in zip(seeds, batched):
+        st, sv = tracker.track(video, pts, query_frame=fi)
+        assert bt.shape == st.shape and bv.shape == sv.shape
+        np.testing.assert_allclose(bt, st, atol=1e-5)
+        np.testing.assert_allclose(bv, sv, atol=1e-5)
+
+
+def test_match_candidates_batch_equals_loop():
+    from s2d_tpu.keymask import match_candidates
+
+    video, masks = _make_video()
+    frame_masks = [{fi * 10 + 1: masks[fi]} for fi in range(len(video))]
+    candidates = [(0, masks[0]), (3, masks[3])]
+    batched = match_candidates(video, CorrelationTracker(), candidates,
+                               frame_masks, matching_threshold=0.3)
+    looped = [
+        match_candidate(video, CorrelationTracker(), m, f, frame_masks,
+                        matching_threshold=0.3)
+        for f, m in candidates
+    ]
+    assert batched == looped
+    assert any(batched[0].values())  # the moving square is matched
+
+
+def test_visibility_curves_batched_path_equals_serial():
+    """extract_visibility_curves uses track_batch when present; results
+    must equal the per-call path."""
+    video, masks = _make_video()
+    masks_per_frame = [{1: masks[fi]} for fi in range(len(video))]
+    tracker = CorrelationTracker()
+    batched = extract_visibility_curves(video, masks_per_frame, tracker,
+                                        grid_size=12)
+
+    class NoBatch:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def track(self, *a, **k):
+            return self._inner.track(*a, **k)
+
+    serial = extract_visibility_curves(video, masks_per_frame,
+                                       NoBatch(tracker), grid_size=12)
+    assert len(batched) == len(serial) == 5
+    for a, b in zip(batched, serial):
+        assert a["frame"] == b["frame"] and a["mask_id"] == b["mask_id"]
+        np.testing.assert_allclose(a["visibility"], b["visibility"],
+                                   atol=1e-5)

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from s2d_tpu.utils import jax_setup
 
-jax_setup.enable_compilation_cache()
+jax_setup.setup_runtime()
 
 from s2d_tpu.ops import auction as A
 

@@ -26,7 +26,7 @@ import numpy as np
 
 from s2d_tpu.utils import jax_setup
 
-jax_setup.enable_compilation_cache()
+jax_setup.setup_runtime()
 
 from s2d_tpu.ops import auction as A
 

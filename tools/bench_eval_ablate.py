@@ -37,7 +37,7 @@ def main():
 
     from s2d_tpu.utils import jax_setup
 
-    jax_setup.enable_compilation_cache()
+    jax_setup.setup_runtime()
 
     import dataclasses
 

@@ -20,7 +20,7 @@ import numpy as np
 
 from s2d_tpu.utils import jax_setup
 
-jax_setup.enable_compilation_cache()
+jax_setup.setup_runtime()
 
 from s2d_tpu.config import Config
 from s2d_tpu.evaluation.inference import postprocess_video

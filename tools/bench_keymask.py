@@ -18,7 +18,7 @@ import numpy as np
 
 from s2d_tpu.utils import jax_setup
 
-jax_setup.enable_compilation_cache()
+jax_setup.setup_runtime()
 
 
 def main():
@@ -59,16 +59,24 @@ def main():
              CoTrackerTracker(params=params, net=net))
         )
 
+    # a second video with the same shape: measures the per-VIDEO cache-miss
+    # cost (upload + preprocessing/encoding) without recompilation
+    video2 = rng.randint(0, 255, (args.t, h, w, 3)).astype(np.uint8)
+
     for name, tracker in trackers:
         tracks, vis = tracker.track(video, pts, query_frame=0)  # warmup
         start = time.perf_counter()
         for _ in range(args.iters):
             tracks, vis = tracker.track(video, pts, query_frame=0)
         dt = (time.perf_counter() - start) / args.iters
+        start = time.perf_counter()
+        tracker.track(video2, pts, query_frame=0)  # per-video cache miss
+        dt_miss = time.perf_counter() - start
         pf = args.t * args.points
         print(
-            f"{name}: {dt*1e3:.0f} ms/track-call "
-            f"({pf/dt/1e3:.1f}K point-frames/s)  "
+            f"{name}: {dt*1e3:.0f} ms/track-call warm "
+            f"({pf/dt/1e3:.1f}K point-frames/s), "
+            f"{dt_miss*1e3:.0f} ms first-call-per-video  "
             f"vis mean {float(np.mean(vis)):.3f}",
             flush=True,
         )

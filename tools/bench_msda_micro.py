@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from s2d_tpu.utils import jax_setup
 
-jax_setup.enable_compilation_cache()
+jax_setup.setup_runtime()
 
 from s2d_tpu.ops.ms_deform_attn import ms_deform_attn
 from s2d_tpu.ops.sampling import grid_sample_rows

@@ -18,7 +18,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from s2d_tpu.utils import jax_setup
 
-jax_setup.enable_compilation_cache()
+jax_setup.setup_runtime()
 
 
 def timed(fn, iters=10):

@@ -25,7 +25,7 @@ import numpy as np
 
 from s2d_tpu.utils import jax_setup
 
-jax_setup.enable_compilation_cache()
+jax_setup.setup_runtime()
 
 from s2d_tpu.keymask import tracker as TR
 

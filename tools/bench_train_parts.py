@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from s2d_tpu.utils import jax_setup
 
-jax_setup.enable_compilation_cache()
+jax_setup.setup_runtime()
 
 
 def timed(fn, iters=10):

@@ -53,7 +53,7 @@ def main():
 
     from s2d_tpu.utils import jax_setup
 
-    jax_setup.enable_compilation_cache()
+    jax_setup.setup_runtime()
 
     from s2d_tpu.config import load_config
     from s2d_tpu.models.meta_arch import build_model

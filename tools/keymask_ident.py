@@ -101,7 +101,7 @@ def process_video(args, video_dir: str, out_json: str, inputs=None) -> None:
     from s2d_tpu.keymask import (
         CorrelationTracker,
         extract_visibility_curves,
-        match_candidate,
+        match_candidates,
         match_matrix,
         group_quality,
         temporal_correspondence_clustering,
@@ -164,13 +164,10 @@ def process_video(args, video_dir: str, out_json: str, inputs=None) -> None:
             if seed_mask is not None:
                 candidates.append((rec["frame"], seed_mask))
 
-    all_matches = [
-        match_candidate(
-            video, tracker, mask, seed_frame, masks_per_frame,
-            matching_threshold=args.matching_threshold,
-        )
-        for seed_frame, mask in candidates
-    ]
+    all_matches = match_candidates(
+        video, tracker, candidates, masks_per_frame,
+        matching_threshold=args.matching_threshold,
+    )
     mat = match_matrix(all_matches, overall_ids)
     labels = temporal_correspondence_clustering(mat)
     groups = group_quality(mat, labels, frame_of_id)
@@ -204,6 +201,11 @@ def _overall_id_at(masks_per_frame, frame, ordinal):
 
 def main(argv=None):
     args = parse_args(argv)
+    from s2d_tpu.utils import jax_setup
+
+    # honors S2D_PLATFORM=cpu + enables the persistent compilation cache
+    # (this jax build ignores the JAX_* env vars)
+    jax_setup.setup_runtime()
     videos = sorted(
         d for d in glob.glob(os.path.join(args.frames_root, "*")) if os.path.isdir(d)
     )
