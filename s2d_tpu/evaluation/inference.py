@@ -40,6 +40,7 @@ from ..ops.resize import interpolate_bilinear
         "output_size",
         "use_nms",
         "nms_thresh",
+        "compute_dtype",
     ),
 )
 def postprocess_video(
