@@ -17,6 +17,14 @@ Departure for HBM: the reference materializes all Q=100 upsampled masks;
 we first gather the top-k queries and only upsample those (identical
 results, 2x less peak memory), and the final full-resolution resize is
 chunked over predictions.
+
+Departure for transport: the binarized full-resolution masks are
+bit-packed on device (`jnp.packbits` along W, MSB-first — numpy's
+`unpackbits` convention) before they leave the chip. The host needs the
+masks only to RLE-encode them (evaluator) or paint overlays (demo), and
+a whole-video track at 50 predictions x T x 720 x 1280 is ~GBs as bools;
+packing cuts the device->host readback (and the output HBM buffer) 8x.
+`finalize_predictions` unpacks transparently.
 """
 from __future__ import annotations
 
@@ -93,7 +101,16 @@ def postprocess_video(
         keep = greedy_mask_nms(iou, labels, nms_thresh)
     else:
         keep = jnp.ones((num_predictions,), dtype=bool)
-    return {"scores": top_scores, "labels": labels, "masks": masks, "keep": keep}
+    # bit-pack along W for the 8x-smaller readback (see module docstring);
+    # "mask_width" rides along so the host can crop the pad byte's bits
+    packed = jnp.packbits(masks, axis=-1)
+    return {
+        "scores": top_scores,
+        "labels": labels,
+        "masks": packed,
+        "mask_width": jnp.int32(masks.shape[-1]),
+        "keep": keep,
+    }
 
 
 def _chunks(n: int) -> int:
@@ -103,11 +120,23 @@ def _chunks(n: int) -> int:
     return n
 
 
+def unpack_masks(device_out: Dict[str, jnp.ndarray]) -> np.ndarray:
+    """Read back `postprocess_video` masks and unpack to bool (P,T,H,W).
+
+    Accepts both the packed (uint8 + "mask_width") layout and plain bool
+    masks (hand-built dicts in tests / older callers)."""
+    masks = np.asarray(device_out["masks"])
+    if masks.dtype == np.uint8 and "mask_width" in device_out:
+        width = int(device_out["mask_width"])
+        masks = np.unpackbits(masks, axis=-1)[..., :width].astype(bool)
+    return masks
+
+
 def finalize_predictions(device_out: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
     """Apply the NMS keep-mask host-side and return numpy predictions."""
     keep = np.asarray(device_out["keep"])
     return {
         "scores": np.asarray(device_out["scores"])[keep],
         "labels": np.asarray(device_out["labels"])[keep],
-        "masks": np.asarray(device_out["masks"])[keep],
+        "masks": unpack_masks(device_out)[keep],
     }

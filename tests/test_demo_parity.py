@@ -31,7 +31,11 @@ from s2d_tpu.checkpoint.torch_import import (
     convert_reference_network,
     extract_network,
 )
-from s2d_tpu.evaluation.inference import finalize_predictions, postprocess_video
+from s2d_tpu.evaluation.inference import (
+    finalize_predictions,
+    postprocess_video,
+    unpack_masks,
+)
 from s2d_tpu.models import VideoMaskFormer
 
 from torch_oracle import TorchVideoMaskFormer
@@ -155,7 +159,7 @@ def test_demo_protocol_mask_parity(models):
     )
 
     # 3. binary masks bit-equal away from the fp boundary band
-    got_masks = np.asarray(got_dev["masks"])
+    got_masks = unpack_masks(got_dev)
     ref_masks = ref["masks"].numpy()
     ref_logits = ref["mask_logits"].numpy()
     decided = np.abs(ref_logits) > LOGIT_MARGIN

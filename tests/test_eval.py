@@ -108,3 +108,62 @@ def test_verify_results():
         verify_results([("segm", "AP", 0.8, 0.02)], metrics)
     with pytest.raises(AssertionError):
         verify_results([("segm", "MISSING_METRIC", 0.5, 0.1)], metrics)
+
+
+def test_postprocess_masks_bitpacked_roundtrip():
+    """postprocess_video ships masks bit-packed (8x smaller readback);
+    finalize/unpack must restore them exactly — incl. a width that is NOT
+    a multiple of 8 (the pad byte's tail bits are cropped)."""
+    import jax.numpy as jnp
+
+    from s2d_tpu.evaluation.inference import (
+        finalize_predictions,
+        postprocess_video,
+        unpack_masks,
+    )
+
+    rng = np.random.default_rng(7)
+    q, k, t, h4, w4 = 6, 1, 2, 8, 13  # output 30x52: 52 % 8 != 0
+    out_size = (30, 52)
+    logits = jnp.asarray(rng.normal(size=(q, k + 1)), jnp.float32)
+    masks = jnp.asarray(rng.normal(size=(q, t, h4, w4)) * 3, jnp.float32)
+    dev = postprocess_video(
+        logits,
+        masks,
+        num_predictions=q,
+        num_classes=k,
+        image_size=(h4 * 4, w4 * 4),
+        output_size=out_size,
+        use_nms=True,
+        nms_thresh=0.75,
+        compute_dtype=jnp.float32,
+    )
+    assert np.asarray(dev["masks"]).dtype == np.uint8
+    assert dev["masks"].shape[-1] == (out_size[1] + 7) // 8
+    got = unpack_masks(dev)
+    assert got.shape == (q, t, *out_size) and got.dtype == bool
+
+    # content: the packed bits are exactly the binarized resized logits —
+    # recompute the expected masks through the same f32 chain, unpacked
+    import jax
+
+    from s2d_tpu.ops.resize import interpolate_bilinear
+
+    sc = np.asarray(jax.nn.softmax(logits, axis=-1))[:, :-1].reshape(-1)
+    order = np.argsort(-sc)  # k=1 so flat index == query index
+    sel = jnp.asarray(np.asarray(masks)[order], jnp.float32)
+    up = interpolate_bilinear(sel, (h4 * 4, w4 * 4), precision="default")
+    expected = np.asarray(
+        interpolate_bilinear(up, out_size, precision="default") > 0.0
+    )
+    np.testing.assert_array_equal(got, expected)
+
+    fin = finalize_predictions(dev)
+    keep = np.asarray(dev["keep"])
+    np.testing.assert_array_equal(fin["masks"], got[keep])
+
+    # plain-bool dicts (hand-built) pass through unchanged
+    plain = {"masks": got, "keep": keep,
+             "scores": np.asarray(dev["scores"]),
+             "labels": np.asarray(dev["labels"])}
+    np.testing.assert_array_equal(unpack_masks(plain), got)

@@ -23,7 +23,7 @@ from s2d_tpu.utils import jax_setup
 jax_setup.setup_runtime()
 
 from s2d_tpu.config import Config
-from s2d_tpu.evaluation.inference import postprocess_video
+from s2d_tpu.evaluation.inference import postprocess_video, unpack_masks
 from s2d_tpu.models import build_model, preprocess_clip
 
 
@@ -70,6 +70,7 @@ def main():
         results[impl] = {
             k: np.asarray(v) for k, v in out.items()
         }
+        results[impl]["masks"] = unpack_masks(out)
 
     a, b = results["xla"], results["pallas"]
     score_delta = np.abs(a["scores"] - b["scores"]).max()
