@@ -29,6 +29,7 @@ packing cuts the device->host readback (and the output HBM buffer) 8x.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -49,6 +50,7 @@ from ..ops.resize import interpolate_bilinear
         "use_nms",
         "nms_thresh",
         "compute_dtype",
+        "pack_bits",
     ),
 )
 def postprocess_video(
@@ -62,6 +64,7 @@ def postprocess_video(
     use_nms: bool = True,
     nms_thresh: float = 0.75,
     compute_dtype: jnp.dtype | None = None,
+    pack_bits: bool | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """compute_dtype: dtype of the mask resize chain (the largest arrays of
     the whole eval step). None resolves to bf16 on TPU — the reference runs
@@ -102,7 +105,16 @@ def postprocess_video(
     else:
         keep = jnp.ones((num_predictions,), dtype=bool)
     # bit-pack along W for the 8x-smaller readback (see module docstring);
-    # "mask_width" rides along so the host can crop the pad byte's bits
+    # "mask_width" rides along so the host can crop the pad byte's bits.
+    # S2D_PACK_MASKS=0 opts out (escape hatch for a backend where the
+    # packbits lowering misbehaves; tools/check_packbits_onchip.py gates it)
+    if pack_bits is None:
+        pack_bits = os.environ.get("S2D_PACK_MASKS", "1") != "0"
+    if not pack_bits:
+        return {
+            "scores": top_scores, "labels": labels,
+            "masks": masks, "keep": keep,
+        }
     packed = jnp.packbits(masks, axis=-1)
     return {
         "scores": top_scores,

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""ON-CHIP sanity gate for the bit-packed eval mask readback.
+
+`postprocess_video` ships binarized masks through `jnp.packbits`
+(s2d_tpu/evaluation/inference.py) — a lowering never exercised on the
+axon TPU backend before. This gate verifies, on whatever backend jax
+resolves (intended: the real TPU):
+
+  1. jnp.packbits vs np.packbits bit-equality at the eval protocol mask
+     shape (50, 8, 720, 1280) and at a ragged width (W % 8 != 0);
+  2. the full postprocess_video -> finalize_predictions chain equals the
+     S2D_PACK_MASKS=0 (unpacked) chain at identical inputs.
+
+Prints ONE JSON line {"ok": bool, "backend": ...}; exit 0 iff ok. If it
+fails, run eval/bench with S2D_PACK_MASKS=0.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from s2d_tpu.utils import jax_setup
+
+jax_setup.setup_runtime()
+
+import jax
+import jax.numpy as jnp
+
+from s2d_tpu.evaluation.inference import (
+    finalize_predictions,
+    postprocess_video,
+)
+
+checks = {}
+ok = True
+
+
+def record(name, passed, detail=""):
+    global ok
+    checks[name] = {"pass": bool(passed), "detail": detail}
+    ok = ok and bool(passed)
+
+
+def main():
+    rng = np.random.default_rng(0)
+
+    # 1. raw packbits parity, protocol shape + ragged width
+    for name, shape in [
+        ("packbits_protocol", (50, 8, 720, 1280)),
+        ("packbits_ragged", (4, 3, 30, 52)),
+    ]:
+        bits = rng.random(shape) > 0.5
+        t0 = time.perf_counter()
+        dev = np.asarray(jnp.packbits(jnp.asarray(bits), axis=-1))
+        dt = time.perf_counter() - t0
+        ref = np.packbits(bits, axis=-1)
+        record(name, np.array_equal(dev, ref), f"{dt * 1e3:.1f} ms incl. transfer")
+
+    # 2. packed vs unpacked postprocess chain, identical inputs
+    q, k, t = 12, 1, 4
+    logits = jnp.asarray(rng.normal(size=(q, k + 1)), jnp.float32)
+    masks = jnp.asarray(rng.normal(size=(q, t, 24, 40)) * 3, jnp.float32)
+    kwargs = dict(
+        num_predictions=q,
+        num_classes=k,
+        image_size=(96, 160),
+        output_size=(192, 320),
+        use_nms=True,
+        nms_thresh=0.75,
+        compute_dtype=jnp.float32,
+    )
+    packed = finalize_predictions(
+        postprocess_video(logits, masks, pack_bits=True, **kwargs)
+    )
+    plain = finalize_predictions(
+        postprocess_video(logits, masks, pack_bits=False, **kwargs)
+    )
+    record(
+        "postprocess_chain",
+        np.array_equal(packed["masks"], plain["masks"])
+        and np.array_equal(packed["scores"], plain["scores"])
+        and np.array_equal(packed["labels"], plain["labels"]),
+    )
+
+    print(
+        json.dumps(
+            {"ok": ok, "backend": jax.default_backend(), "checks": checks}
+        )
+    )
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
