@@ -53,10 +53,16 @@ def emit(value, vs_baseline, **extra):
 
 
 def probe_backend():
-    """Probe jax backend init in a subprocess; returns (ok, detail)."""
+    """Probe jax backend init in a subprocess; returns (ok, detail).
+
+    Honors S2D_PLATFORM=cpu (local smoke runs must not touch the TPU
+    tunnel; this jax build ignores JAX_PLATFORMS)."""
     code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from s2d_tpu.utils.jax_setup import setup_runtime; setup_runtime(); "
         "import jax; d = jax.devices(); "
         "print('PROBE_OK', jax.default_backend(), len(d))"
+        % os.path.dirname(os.path.abspath(__file__))
     )
     last = ""
     for attempt in range(PROBE_ATTEMPTS):
@@ -107,9 +113,9 @@ def inner():
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from s2d_tpu.utils.jax_setup import enable_compilation_cache
+    from s2d_tpu.utils.jax_setup import setup_runtime
 
-    enable_compilation_cache()
+    setup_runtime()  # S2D_PLATFORM=cpu local smoke; default = TPU + cache
 
     from s2d_tpu.config import Config
     from s2d_tpu.models import build_model, preprocess_clip
@@ -143,24 +149,37 @@ def inner():
         out = model.apply(variables, images)
         return out["pred_logits"][0], out["pred_masks"][0]
 
-    def full(variables, images):
-        logits, masks = forward(variables, images)
-        return postprocess_video(
-            logits,
-            masks,
-            num_predictions=tcfg.num_predictions,
-            num_classes=cfg.model.sem_seg_head.num_classes,
-            image_size=(h, w),
-            output_size=(OUT_H, OUT_W),
-            use_nms=tcfg.use_nms,
-            nms_thresh=tcfg.nms_thresh,
-        )
+    def make_full(pack_bits):
+        def full(variables, images):
+            logits, masks = forward(variables, images)
+            return postprocess_video(
+                logits,
+                masks,
+                num_predictions=tcfg.num_predictions,
+                num_classes=cfg.model.sem_seg_head.num_classes,
+                image_size=(h, w),
+                output_size=(OUT_H, OUT_W),
+                use_nms=tcfg.use_nms,
+                nms_thresh=tcfg.nms_thresh,
+                pack_bits=pack_bits,
+            )
+
+        return full
 
     # warmup / compile; forced host read (the axon transport's
     # block_until_ready acknowledges enqueue only — a scalar device->host
-    # read is the only reliable completion barrier)
-    out = full(variables, images)
-    _ = float(out["scores"][0])
+    # read is the only reliable completion barrier). The packed-mask
+    # readback is the production path; if its packbits lowering fails on
+    # this backend, fall back to unpacked masks rather than losing the
+    # round's number (tools/check_packbits_onchip.py reports the gate).
+    full = make_full(True)
+    try:
+        out = full(variables, images)
+        _ = float(out["scores"][0])
+    except Exception:
+        full = make_full(False)
+        out = full(variables, images)
+        _ = float(out["scores"][0])
 
     iters = 10 if on_tpu else 2  # CPU fallback: keep wall-clock bounded
     start = time.perf_counter()

@@ -11,6 +11,7 @@ permutation, the TPU analog of TrainingSampler's rank sharding.
 from __future__ import annotations
 
 import itertools
+import os
 import queue
 import threading
 from typing import Dict, Iterator, List, Optional, Sequence
@@ -30,8 +31,16 @@ def collate_clips(
     pixel_std: Sequence[float],
     size_divisibility: int = 32,
     bucket_multiple: int = 64,
+    pack_masks: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Normalize, pad to the common bucketed canvas, stack."""
+    """Normalize, pad to the common bucketed canvas, stack.
+
+    `pack_masks` bit-packs the target masks along W (np.packbits,
+    MSB-first) — the (B, N, T, H, W) bool tensor is the largest array a
+    train step uploads, and the step unpacks on device
+    (train/trainer.py), cutting the host->device transfer 8x. The
+    bucketed canvas W is always a multiple of 8 so no width metadata is
+    needed (the step recovers W from the images)."""
     t = samples[0]["image"].shape[0]
     max_h = _bucket(max(s["image"].shape[1] for s in samples), bucket_multiple)
     max_w = _bucket(max(s["image"].shape[2] for s in samples), bucket_multiple)
@@ -62,6 +71,8 @@ def collate_clips(
             _, dh, dw, _ = s["distill_image"].shape
             distill[i, :, :dh, :dw] = (s["distill_image"] - mean) / std
             affine[i] = s["distill_affine"]
+    if pack_masks:
+        masks = np.packbits(masks, axis=-1)
     batch = {"images": images, "masks": masks, "valid": valid}
     if has_distill:
         batch["distill_images"] = distill
@@ -80,6 +91,7 @@ def train_loader(
     shard_index: int = 0,
     prefetch: int = 2,
     batch_transform=None,
+    pack_masks: bool | None = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Infinite iterator of collated global batches for this host's shard.
 
@@ -88,7 +100,13 @@ def train_loader(
     augmentation uses (reference applies it inside run_step on the
     uncollated batch, `mask2former_video/engine/train_loop.py:703`; here
     it runs on the loader thread so the augmentation overlaps device
-    compute)."""
+    compute).
+
+    `pack_masks` defaults from S2D_PACK_MASKS (on unless =0) — the same
+    escape hatch as the eval readback, gated on-chip by
+    tools/check_packbits_onchip.py."""
+    if pack_masks is None:
+        pack_masks = os.environ.get("S2D_PACK_MASKS", "1") != "0"
     rng = np.random.RandomState(seed)
 
     def sample_stream():
@@ -106,7 +124,9 @@ def train_loader(
             samples = list(itertools.islice(stream, batch_size))
             if batch_transform is not None:
                 samples = batch_transform(samples)
-            yield collate_clips(samples, pixel_mean, pixel_std)
+            yield collate_clips(
+                samples, pixel_mean, pixel_std, pack_masks=pack_masks
+            )
 
     return _prefetch(batch_stream(), prefetch)
 

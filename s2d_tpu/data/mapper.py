@@ -218,7 +218,14 @@ class ClipMapper:
 
         sample = {
             "video_id": record["video_id"],
-            "image": np.stack(frames).astype(np.float32),  # (T, H, W, 3)
+            # eval keeps the augment chain's uint8 (resize-only) so the
+            # device upload is 1 byte/px; preprocess_clip casts on device.
+            # Train casts to f32 for the host-side collate normalize.
+            "image": (
+                np.stack(frames).astype(np.float32)
+                if self.is_train
+                else np.stack(frames)
+            ),  # (T, H, W, 3)
             "masks": masks_padded,
             "valid": valid,
             "labels": labels_padded,

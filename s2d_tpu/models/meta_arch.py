@@ -204,7 +204,9 @@ def preprocess_clip(
     t, h, w, _ = frames.shape
     mean = jnp.asarray(pixel_mean, jnp.float32)
     std = jnp.asarray(pixel_std, jnp.float32)
-    x = (frames.astype(jnp.float32) - mean) / std
+    # transfer in the caller's dtype (eval frames are uint8 — 4x less
+    # upload than a host-side f32 cast) and normalize on device
+    x = (jnp.asarray(frames).astype(jnp.float32) - mean) / std
     pad_h = -h % size_divisibility
     pad_w = -w % size_divisibility
     if pad_h or pad_w:

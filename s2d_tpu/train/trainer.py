@@ -167,6 +167,13 @@ def make_train_step(
         distill_affine: jnp.ndarray | None = None,  # (B, T, 3, 3)
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         pad_hw = images.shape[2:4]
+        if tgt_masks.dtype == jnp.uint8:
+            # loader ships targets bit-packed along W (collate_clips
+            # pack_masks — 8x smaller host->device upload); unpack on
+            # device. The padded canvas W comes from the images.
+            tgt_masks = jnp.unpackbits(
+                tgt_masks, axis=-1, count=pad_hw[1]
+            ).astype(bool)
         sup_factor, kd_factor = factors_fn(state.step)
         rng_step = jax.random.fold_in(rng, state.step)
         k_drop, k_sup, k_kd = jax.random.split(rng_step, 3)

@@ -210,3 +210,56 @@ def test_accum_lr_scale():
     assert out.solver.base_lr == pytest.approx(1e-6 * 16 / 2)
     cfg1 = load_config(None, opts=["SOLVER.ACCUM_ITER", "1"])
     assert apply_accum_lr_scale(cfg1) is cfg1
+
+
+def test_packed_target_masks_match_bool():
+    """collate_clips(pack_masks=True) ships targets as packbits-uint8; the
+    train step unpacks on device — metrics must be IDENTICAL to the bool
+    feed (same rng, same state)."""
+    cfg = _tiny_cfg()
+    model = _tiny_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    b, t, h, w, n = 1, 2, 32, 32, 3
+    images = jax.random.normal(rng, (b, t, h, w, 3))
+    params = model.init(rng, images)
+    tx = build_optimizer(cfg, params)
+
+    def fresh_state():
+        return TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            teacher_params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=tx.init(params),
+        )
+
+    masks = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (b, n, t, h, w)) > 0.7
+    )
+    packed = np.packbits(masks, axis=-1)
+    assert packed.shape == (b, n, t, h, w // 8) and packed.dtype == np.uint8
+    valid = jnp.asarray([[True, True, False]])
+
+    step_fn = jax.jit(make_train_step(model, cfg, tx))
+    step_rng = jax.random.PRNGKey(2)
+    _, m_bool = step_fn(fresh_state(), images, jnp.asarray(masks), valid, step_rng)
+    _, m_packed = step_fn(
+        fresh_state(), images, jnp.asarray(packed), valid, step_rng
+    )
+    for k in m_bool:
+        np.testing.assert_array_equal(
+            np.asarray(m_bool[k]), np.asarray(m_packed[k]), err_msg=k
+        )
+
+    # and the loader really produces the packed layout
+    from s2d_tpu.data.loader import collate_clips
+
+    samples = [{
+        "image": np.zeros((t, 16, 24, 3), np.float32),
+        "masks": masks[0, :, :, :16, :24],
+        "valid": np.asarray(valid)[0],
+    }]
+    batch = collate_clips(
+        samples, (0.0, 0.0, 0.0), (1.0, 1.0, 1.0), pack_masks=True
+    )
+    assert batch["masks"].dtype == np.uint8
+    assert batch["masks"].shape[-1] * 8 == batch["images"].shape[3]

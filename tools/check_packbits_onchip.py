@@ -9,7 +9,11 @@ resolves (intended: the real TPU):
   1. jnp.packbits vs np.packbits bit-equality at the eval protocol mask
      shape (50, 8, 720, 1280) and at a ragged width (W % 8 != 0);
   2. the full postprocess_video -> finalize_predictions chain equals the
-     S2D_PACK_MASKS=0 (unpacked) chain at identical inputs.
+     S2D_PACK_MASKS=0 (unpacked) chain at identical inputs;
+  3. jnp.unpackbits vs np.unpackbits at a training target-mask shape
+     (the train step unpacks loader-packed targets on device,
+     train/trainer.py; loader falls back to pack_masks=False if this
+     fails).
 
 Prints ONE JSON line {"ok": bool, "backend": ...}; exit 0 iff ok. If it
 fails, run eval/bench with S2D_PACK_MASKS=0.
@@ -61,6 +65,14 @@ def main():
         dt = time.perf_counter() - t0
         ref = np.packbits(bits, axis=-1)
         record(name, np.array_equal(dev, ref), f"{dt * 1e3:.1f} ms incl. transfer")
+
+    # 1b. unpackbits parity at a training target shape (B,N,T,H,W/8)
+    packed_in = rng.integers(0, 256, size=(2, 8, 3, 96, 20), dtype=np.uint8)
+    dev_u = np.asarray(
+        jnp.unpackbits(jnp.asarray(packed_in), axis=-1, count=157)
+    )
+    ref_u = np.unpackbits(packed_in, axis=-1, count=157)
+    record("unpackbits_train", np.array_equal(dev_u, ref_u))
 
     # 2. packed vs unpacked postprocess chain, identical inputs
     q, k, t = 12, 1, 4

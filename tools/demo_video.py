@@ -80,9 +80,11 @@ def main(argv=None):
         raw = [cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2RGB) for f in files]
     oh, ow = raw[0].shape[:2]
     nh, nw = resize_shortest_edge(oh, ow, cfg.input.min_size_test, cfg.input.max_size_test)
+    # stay uint8: preprocess_clip transfers the caller's dtype and casts
+    # on device (4x less upload than a host f32 cast)
     frames = np.stack([
         cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR) for f in raw
-    ]).astype(np.float32)
+    ])
 
     on_tpu = jax.default_backend() == "tpu"
     model = build_model(

@@ -135,6 +135,7 @@ def main(argv=None):
         rng = np.random.RandomState(0)
         it = start
         prev_sample = None  # copy-paste source: the previous mapped image
+        pending = None  # (iteration, device metrics) awaiting readback
         while it < cfg.max_iter:
             record = dicts[rng.randint(len(dicts))]
             s = map_image_record(record, cfg, rng, is_train=True)
@@ -162,10 +163,19 @@ def main(argv=None):
                 jnp.asarray(s["boxes"]), jnp.asarray(s["labels"]),
                 jnp.asarray(s["valid"]), jnp.asarray(s["masks"]),
             )
-            logger.log(it, {k: float(v) for k, v in metrics.items()})
+            # read metrics one step late so host-side mapping/copy-paste of
+            # the next image overlaps the device step instead of waiting
+            # behind the blocking float()s
+            if pending is not None:
+                p_it, p_metrics = pending
+                logger.log(p_it, {k: float(v) for k, v in p_metrics.items()})
+            pending = (it, metrics)
             it += 1
             if it % 5000 == 0 or it == cfg.max_iter:
                 ckpt_writer.save(it, (params, opt_state))
+        if pending is not None:
+            p_it, p_metrics = pending
+            logger.log(p_it, {k: float(v) for k, v in p_metrics.items()})
         ckpt_writer.close()
     else:
         step = latest_step(ckpt_dir)

@@ -286,6 +286,24 @@ def main(argv=None):
             state = shard_train_state(mesh, state)
         else:
             state = replicate(mesh, state)
+        # metrics are read back ONE step late: float(metrics[N]) blocks on
+        # step N, so reading it only after batch N+1 is fetched, uploaded,
+        # and step N+1 dispatched lets the host feed (loader + device_put
+        # over the remote transport) overlap step N's device compute
+        # instead of serializing behind it
+        pending = None  # (iteration, device metrics) awaiting readback
+
+        def flush_pending():
+            nonlocal pending
+            if pending is None:
+                return
+            p_it, p_metrics = pending
+            pending = None
+            host = {k: float(v) for k, v in p_metrics.items()}
+            timer.step_done()
+            host.update(timer.metrics())
+            logger.log(p_it, host)
+
         for it in range(start_iter, cfg.solver.max_iter):
             if args.profile_dir:
                 # skip the compile step; bracket a few steady-state steps
@@ -309,16 +327,17 @@ def main(argv=None):
                 )
             else:
                 state, metrics = step_fn(state, images, masks, valid, train_rng)
-            metrics = {k: float(v) for k, v in metrics.items()}
-            timer.step_done()
-            metrics.update(timer.metrics())
-            logger.log(it, metrics)
+            flush_pending()
+            pending = (it, metrics)
             done = (it + 1) == cfg.solver.max_iter
             if (it + 1) % ckpt_period == 0 or done:
+                flush_pending()  # keep metrics.json ordered before saves
                 ckpt_writer.save(it + 1, state)
             if eval_period > 0 and ((it + 1) % eval_period == 0 or done):
+                flush_pending()
                 logger.log(it, run_eval(state, it + 1))
                 timer = StepTimer()  # eval time must not count as data time
+        flush_pending()
     ckpt_writer.close()
     return 0
 
