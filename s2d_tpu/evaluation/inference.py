@@ -40,6 +40,23 @@ from ..ops.nms import greedy_mask_nms, mask_iou_matrix
 from ..ops.resize import interpolate_bilinear
 
 
+def postprocess_video(
+    pred_logits: jnp.ndarray,
+    pred_masks: jnp.ndarray,
+    *,
+    pack_bits: bool | None = None,
+    **kwargs,
+) -> Dict[str, jnp.ndarray]:
+    """Un-jitted entry: resolves the S2D_PACK_MASKS escape hatch HERE, at
+    every call, so flipping the env mid-process takes effect (a default
+    resolved inside the traced body would be baked into the jit cache)."""
+    if pack_bits is None:
+        pack_bits = os.environ.get("S2D_PACK_MASKS", "1") != "0"
+    return _postprocess_video_jit(
+        pred_logits, pred_masks, pack_bits=pack_bits, **kwargs
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -53,7 +70,7 @@ from ..ops.resize import interpolate_bilinear
         "pack_bits",
     ),
 )
-def postprocess_video(
+def _postprocess_video_jit(
     pred_logits: jnp.ndarray,  # (Q, K+1)
     pred_masks: jnp.ndarray,  # (Q, T, H/4, W/4) mask logits
     *,
@@ -64,7 +81,7 @@ def postprocess_video(
     use_nms: bool = True,
     nms_thresh: float = 0.75,
     compute_dtype: jnp.dtype | None = None,
-    pack_bits: bool | None = None,
+    pack_bits: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """compute_dtype: dtype of the mask resize chain (the largest arrays of
     the whole eval step). None resolves to bf16 on TPU — the reference runs
@@ -108,8 +125,6 @@ def postprocess_video(
     # "mask_width" rides along so the host can crop the pad byte's bits.
     # S2D_PACK_MASKS=0 opts out (escape hatch for a backend where the
     # packbits lowering misbehaves; tools/check_packbits_onchip.py gates it)
-    if pack_bits is None:
-        pack_bits = os.environ.get("S2D_PACK_MASKS", "1") != "0"
     if not pack_bits:
         return {
             "scores": top_scores, "labels": labels,
@@ -140,7 +155,9 @@ def unpack_masks(device_out: Dict[str, jnp.ndarray]) -> np.ndarray:
     masks = np.asarray(device_out["masks"])
     if masks.dtype == np.uint8 and "mask_width" in device_out:
         width = int(device_out["mask_width"])
-        masks = np.unpackbits(masks, axis=-1)[..., :width].astype(bool)
+        # unpackbits yields 0/1 uint8 — view as bool (no second full-size
+        # copy; whole-video tracks are GBs) and crop the pad byte's bits
+        masks = np.unpackbits(masks, axis=-1).view(np.bool_)[..., :width]
     return masks
 
 

@@ -170,7 +170,15 @@ def make_train_step(
         if tgt_masks.dtype == jnp.uint8:
             # loader ships targets bit-packed along W (collate_clips
             # pack_masks — 8x smaller host->device upload); unpack on
-            # device. The padded canvas W comes from the images.
+            # device. The padded canvas W comes from the images. Guard
+            # against a caller passing full-width 0/1 uint8 masks — those
+            # must be fed as bool, not sniffed as packed.
+            if tgt_masks.shape[-1] * 8 != pad_hw[1]:
+                raise ValueError(
+                    f"uint8 tgt_masks are interpreted as bit-packed along W "
+                    f"but last dim {tgt_masks.shape[-1]} * 8 != padded W "
+                    f"{pad_hw[1]}; pass bool masks for an unpacked feed"
+                )
             tgt_masks = jnp.unpackbits(
                 tgt_masks, axis=-1, count=pad_hw[1]
             ).astype(bool)

@@ -44,6 +44,9 @@ class StepTimer:
         now = time.perf_counter()
         self.step_time = now - self._t1
         self._t0 = now
+        # consecutive step_done calls (lagged-readback flushes can pair two
+        # flushes with one data_done) must measure DISJOINT spans
+        self._t1 = now
 
     def metrics(self):
         return {"data_time": self.data_time, "time": self.data_time + self.step_time}

@@ -167,3 +167,28 @@ def test_postprocess_masks_bitpacked_roundtrip():
              "scores": np.asarray(dev["scores"]),
              "labels": np.asarray(dev["labels"])}
     np.testing.assert_array_equal(unpack_masks(plain), got)
+
+
+def test_pack_masks_env_flip_takes_effect(monkeypatch):
+    """S2D_PACK_MASKS is resolved per CALL in the un-jitted wrapper — a
+    mid-process flip must change the output layout (not be baked into the
+    first trace's jit cache)."""
+    import jax.numpy as jnp
+
+    from s2d_tpu.evaluation.inference import postprocess_video
+
+    rng = np.random.default_rng(3)
+    q, k, t, h4, w4 = 4, 1, 1, 4, 6
+    logits = jnp.asarray(rng.normal(size=(q, k + 1)), jnp.float32)
+    masks = jnp.asarray(rng.normal(size=(q, t, h4, w4)), jnp.float32)
+    kwargs = dict(
+        num_predictions=q, num_classes=k,
+        image_size=(h4 * 4, w4 * 4), output_size=(16, 24),
+        use_nms=False, nms_thresh=0.75, compute_dtype=jnp.float32,
+    )
+    monkeypatch.setenv("S2D_PACK_MASKS", "1")
+    packed = postprocess_video(logits, masks, **kwargs)
+    assert np.asarray(packed["masks"]).dtype == np.uint8
+    monkeypatch.setenv("S2D_PACK_MASKS", "0")
+    plain = postprocess_video(logits, masks, **kwargs)
+    assert np.asarray(plain["masks"]).dtype == np.bool_

@@ -50,10 +50,19 @@ def timed_upload(name, arr, iters):
 
 
 def timed_readback(name, x, iters):
-    arr = np.asarray(x)  # warm
+    """jax.Array caches its host copy after the first np.asarray — produce
+    a FRESH device array per iteration (one cheap device op) so every
+    np.asarray is a real device->host transfer."""
+
+    def fresh():
+        if x.dtype == jnp.bool_:
+            return jnp.logical_or(x, False)
+        return jnp.bitwise_or(x, jnp.zeros((), x.dtype))
+
+    arr = np.asarray(fresh())  # warm (compile the refresh op)
     start = time.perf_counter()
     for _ in range(iters):
-        arr = np.asarray(x)
+        arr = np.asarray(fresh())
     dt = (time.perf_counter() - start) / iters
     mb = arr.nbytes / 1e6
     print(f"readback {name:28s} {mb:9.1f} MB  {dt * 1e3:8.1f} ms  {mb / dt / 1e3:7.2f} GB/s")

@@ -172,6 +172,11 @@ def main(argv=None):
             pending = (it, metrics)
             it += 1
             if it % 5000 == 0 or it == cfg.max_iter:
+                # flush so a crash after the save never leaves a resumable
+                # checkpoint ahead of metrics.json
+                p_it, p_metrics = pending
+                logger.log(p_it, {k: float(v) for k, v in p_metrics.items()})
+                pending = None
                 ckpt_writer.save(it, (params, opt_state))
         if pending is not None:
             p_it, p_metrics = pending
