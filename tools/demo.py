@@ -93,9 +93,9 @@ def main(argv=None) -> int:
             oh, ow, cfg.input.min_size_test, cfg.input.max_size_test
         )
         frame = cv2.resize(raw, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        # uint8 through preprocess_clip: 4x less upload, cast on device
         images, (h, w) = preprocess_clip(
-            frame[None].astype(np.float32),
-            cfg.model.pixel_mean, cfg.model.pixel_std,
+            frame[None], cfg.model.pixel_mean, cfg.model.pixel_std,
         )
         if variables is None:
             if weights and os.path.exists(weights):
