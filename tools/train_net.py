@@ -213,11 +213,16 @@ def main(argv=None):
 
     gts, preds = [], []
     gt_masks, pred_masks = [], []
-    for record in dicts:
-        s = map_image_record(record, cfg, is_train=False)
-        if s is None:
-            continue
-        det = infer(params, jnp.asarray(s["image"])[None])
+
+    # same overlap pattern as the video evaluator: image decode/resize on
+    # a prefetch thread, device->host readback + mask paste + RLE on a
+    # finalize thread, while the main thread keeps the device fed
+    import queue
+    import threading
+
+    from s2d_tpu.data.loader import _prefetch
+
+    def finalize(record, s, det):
         boxes, scores, classes, valid = (np.asarray(x) for x in det[:4])
         boxes = boxes / s["scale"]
         masks_k = None
@@ -238,6 +243,35 @@ def main(argv=None):
                     **{k: entry[k] for k in ("image_id", "category_id", "score")},
                     "segmentation": rle_codec.encode(masks_k[di]),
                 })
+
+    fin_q: "queue.Queue" = queue.Queue(maxsize=2)
+    fin_err: list = []
+
+    def finalize_worker():
+        while True:
+            item = fin_q.get()
+            if item is None:
+                return
+            try:
+                finalize(*item)
+            except BaseException as e:
+                fin_err.append(e)
+                return
+
+    fin_thread = threading.Thread(target=finalize_worker, daemon=True)
+    fin_thread.start()
+
+    mapped = _prefetch(
+        ((r, map_image_record(r, cfg, is_train=False)) for r in dicts),
+        depth=2,
+    )
+    for record, s in mapped:
+        if s is None:
+            continue
+        if fin_err:
+            break
+        det = infer(params, jnp.asarray(s["image"])[None])
+        fin_q.put((record, s, det))
         for ann in record.get("annotations", []):
             gts.append({
                 "image_id": record["image_id"],
@@ -256,6 +290,10 @@ def main(argv=None):
                     "segmentation": seg,
                     "iscrowd": ann.get("iscrowd", 0),
                 })
+    fin_q.put(None)
+    fin_thread.join()
+    if fin_err:
+        raise fin_err[0]
     metrics = {
         f"bbox/{k}": v
         for k, v in evaluate_detections_boxes(
