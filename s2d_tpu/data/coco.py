@@ -40,7 +40,35 @@ _PREDEFINED_COCO = {
     "cls_agnostic_clipart": ("clipart", "clipart/annotations/traintest_cls_agnostic.json"),
     "cls_agnostic_watercolor": ("watercolor", "watercolor/annotations/traintest_cls_agnostic.json"),
     "cls_agnostic_comic": ("comic", "comic/annotations/traintest_cls_agnostic.json"),
+    # d2-core names used by the reference model_zoo configs (class-aware)
+    "coco_2017_train": ("coco/train2017", "coco/annotations/instances_train2017.json"),
+    "coco_2017_val": ("coco/val2017", "coco/annotations/instances_val2017.json"),
+    # maskcut/diffncut pseudo-GT + self-training rounds (builtin.py:48-59);
+    # "imagenet_train" is the reference's name for the same json our
+    # "imagenet_train_cls_agnostic" points at
+    "imagenet_train": (
+        "imagenet/train", "imagenet/annotations/imagenet_train_fixsize480_tau0.15_N3.json"),
+    "imagenet_train_diffncut_v1": (
+        "imagenet/train", "imagenet/annotations/train_imagenet_in1k_diffncut_mincut_sif_mask_confidence_merged.json"),
+    "imagenet_train_r1": (
+        "imagenet/train", "imagenet/annotations/cutler_imagenet1k_train_r1.json"),
+    "imagenet_train_diffncut_select_and_blend_r1": (
+        "imagenet/train", "imagenet/annotations/cutler_imagenet1k_train_r1_diffncut_mincut_sif_mask_confidence_select_and_blend.json"),
+    "imagenet_train_r2": (
+        "imagenet/train", "imagenet/annotations/cutler_imagenet1k_train_r2.json"),
+    "imagenet_train_r3": (
+        "imagenet/train", "imagenet/annotations/cutler_imagenet1k_train_r3.json"),
+    "imagenet_train_diffncut_ablation_kbr_r3_seedsweep": (
+        "imagenet/train", "imagenet/annotations/cutler_imagenet1k_train_r3_diffncut_ablation_kbr_seedsweep.json"),
+    "imagenet_train_diffncut_select_and_blend_r3": (
+        "imagenet/train", "imagenet/annotations/cutler_imagenet1k_train_r3_diffncut_mincut_sif_mask_confidence.json"),
 }
+
+# COCO semi-supervised finetuning splits (builtin.py:27-38): N% of
+# train2017 with full labels, used by model_zoo/COCO-Semisupervised
+for _p in (1, 2, 5, 10, 20, 30, 40, 50, 60, 80):
+    _PREDEFINED_COCO[f"coco_semi_{_p}perc"] = (
+        "coco/train2017", f"coco/annotations/{_p}perc_instances_train2017.json")
 
 
 def register_coco(

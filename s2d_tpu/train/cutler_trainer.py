@@ -143,11 +143,23 @@ def load_cutler_yaml(path: str) -> Tuple[dict, dict, dict]:
     put(fields, "no_segm", test.get("NO_SEGM"))
 
     put(rcnn, "num_classes", roi.get("NUM_CLASSES"))
-    if roi.get("USE_DROPLOSS") is False:
-        # thresh -1 keeps every proposal's loss (best_iou > -1 always)
-        rcnn["droploss_iou_thresh"] = -1.0
+    # Reference semantics (cutler/config/cutler_config.py:13-14): DropLoss
+    # is OFF unless USE_DROPLOSS: True; when on, the threshold defaults to
+    # 0.0. thresh -1 keeps every proposal's loss (best_iou > -1 always);
+    # our `best_iou > thresh` keep-mask is the exact complement of the
+    # reference's `iou_max.le(thresh)` drop-mask (roi_heads.py:823-850).
+    if roi.get("USE_DROPLOSS"):
+        rcnn["droploss_iou_thresh"] = float(roi.get("DROPLOSS_IOU_THRESH", 0.0))
     else:
-        put(rcnn, "droploss_iou_thresh", roi.get("DROPLOSS_IOU_THRESH"))
+        rcnn["droploss_iou_thresh"] = -1.0
+    # ROI head family (cutler/modeling/roi_heads/): CustomCascadeROIHeads
+    # = 3-stage cascade (our CutlerConfig default); CustomStandardROIHeads
+    # (model_zoo mask_rcnn_R_50_FPN.yaml) = one box stage matched at IoU
+    # 0.5 — a 1-tuple cascade_ious degenerates to exactly that (stage-score
+    # average over one stage is that stage; our delta codec is weight-free
+    # so d2's per-stage box2box weights have no analog).
+    if roi.get("NAME") in ("CustomStandardROIHeads", "StandardROIHeads"):
+        rcnn["cascade_ious"] = (0.5,)
     put(rcnn, "rpn_nms_thresh", rpn.get("NMS_THRESH"))
     put(rcnn, "pre_nms_topk", rpn.get("PRE_NMS_TOPK_TEST"))
     put(rcnn, "mask_on", model.get("MASK_ON"))

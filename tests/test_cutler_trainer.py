@@ -194,8 +194,122 @@ def test_cutler_yaml_config_mapping():
     assert fields["steps"] == (80000,)
     assert fields["clip_value"] == 1.0         # CLIP_GRADIENTS.ENABLED
     assert fields["min_size_train"] == 688     # median of the scale list
-    assert rcnn == {"num_classes": 1, "droploss_iou_thresh": 0.01,
+    # DropLoss OFF (-1 keeps every proposal): the reference cuts3d recipe
+    # leaves USE_DROPLOSS at its False default (cutler_config.py:13)
+    assert rcnn == {"num_classes": 1, "droploss_iou_thresh": -1.0,
                     "rpn_nms_thresh": 0.65, "pre_nms_topk": 1000,
                     "mask_on": True}
     assert datasets == {"train": "imagenet_train_cls_agnostic",
                         "test": "ytvis_2021_train"}
+
+
+def _repo_path(*parts):
+    return os.path.join(os.path.dirname(__file__), "..", *parts)
+
+
+def test_cutler_model_zoo_configs_load():
+    """Every config under configs/cutler/ (CutLER-ImageNet variants +
+    COCO-Semisupervised splits) loads, and its datasets are registered
+    names; spot-check the mapped semantics of each family."""
+    import glob
+
+    from s2d_tpu.data.coco import COCO_REGISTRY, register_builtin_coco
+    from s2d_tpu.train.cutler_trainer import load_cutler_yaml
+
+    register_builtin_coco()
+    files = sorted(
+        glob.glob(_repo_path("configs", "cutler", "**", "*.yaml"),
+                  recursive=True)
+    )
+    assert len(files) >= 16
+    for f in files:
+        fields, rcnn, datasets = load_cutler_yaml(f)
+        if os.path.basename(f).startswith("Base"):
+            continue
+        for split in datasets.values():
+            if split == "ytvis_2021_train":  # video registry, not COCO
+                continue
+            assert split in COCO_REGISTRY, (f, split)
+
+    # non-cascade variant: one box stage matched at IoU 0.5, DropLoss on
+    _, rcnn, _ = load_cutler_yaml(
+        _repo_path("configs", "cutler", "mask_rcnn_R_50_FPN.yaml"))
+    assert rcnn["cascade_ious"] == (0.5,)
+    assert rcnn["droploss_iou_thresh"] == 0.01
+
+    # semi-supervised finetune: supervised labels -> DropLoss off,
+    # 80 classes, fresh predictor layers at 4x LR
+    fields, rcnn, datasets = load_cutler_yaml(_repo_path(
+        "configs", "cutler", "COCO-Semisupervised",
+        "cascade_mask_rcnn_R_50_FPN_1perc.yaml"))
+    assert rcnn["droploss_iou_thresh"] == -1.0
+    assert rcnn["num_classes"] == 80
+    assert fields["base_lr"] == 0.04
+    assert fields["base_lr_multiplier"] == 4
+    assert any("box_predictor.2" in n
+               for n in fields["base_lr_multiplier_names"])
+    assert datasets["train"] == "coco_semi_1perc"
+    assert datasets["test"] == "coco_2017_val"
+
+
+def test_reference_cutler_zoo_yamls_load_unchanged():
+    """The reference's cutler model_zoo yamls load through our d2-style
+    loader directly (same contract as the video configs test)."""
+    import glob
+
+    from s2d_tpu.train.cutler_trainer import load_cutler_yaml
+
+    ref = "/root/reference/model_training/cutler/model_zoo/configs"
+    if not os.path.isdir(ref):
+        pytest.skip("reference tree not present")
+    files = sorted(
+        glob.glob(os.path.join(ref, "**", "*.yaml"), recursive=True))
+    assert len(files) >= 15
+    for f in files:
+        fields, rcnn, datasets = load_cutler_yaml(f)
+        if os.path.basename(f).startswith("Base"):
+            continue
+        assert fields.get("base_lr", 0.02) > 0
+    # the reference's standard-head yaml maps to the 1-stage head
+    _, rcnn, _ = load_cutler_yaml(
+        os.path.join(ref, "CutLER-ImageNet", "mask_rcnn_R_50_FPN.yaml"))
+    assert rcnn["cascade_ious"] == (0.5,)
+
+
+def test_standard_roi_heads_single_stage():
+    """cascade_ious=(0.5,) degenerates the cascade into d2
+    StandardROIHeads semantics: one box stage, finite losses, working
+    inference (reference cutler/modeling/roi_heads/roi_heads.py)."""
+    from s2d_tpu.models.cutler import (
+        CutlerConfig,
+        CutlerRCNN,
+        mask_loss,
+        roi_losses,
+        rpn_losses,
+    )
+    from s2d_tpu.train.cutler_trainer import cascade_detections
+
+    cfg = CutlerConfig(
+        num_proposals=16, pre_nms_topk=64, cascade_ious=(0.5,))
+    model = CutlerRCNN(cfg=cfg)
+    image = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), image)
+    out = model.apply(params, image)
+    assert len(out["stages"]) == 1
+
+    gt_boxes = jnp.asarray([[8.0, 8, 40, 40]])
+    gt_labels = jnp.asarray([0])
+    gt_valid = jnp.asarray([True])
+    gt_masks = jnp.zeros((1, 64, 64), bool).at[0, 8:40, 8:40].set(True)
+    losses = {}
+    losses.update(rpn_losses(out, gt_boxes, gt_valid))
+    losses.update(roi_losses(out, gt_boxes, gt_labels, gt_valid, cfg))
+    losses.update(mask_loss(out, gt_masks, gt_boxes, gt_valid, cfg))
+    assert "loss_cls_stage0" in losses
+    assert "loss_cls_stage1" not in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+    boxes, scores, classes, valid = cascade_detections(
+        out, cfg.num_classes, 0.0, 0.5, 8)
+    assert boxes.shape == (8, 4) and scores.shape == (8,)
