@@ -216,3 +216,44 @@ def test_image_demo_cli(tmp_path):
         "--task", "semantic", *opts,
     ])
     assert rc == 0
+
+
+def test_export_model_cli(tmp_path):
+    """tools/export_model.py: the serialized StableHLO serving artifact
+    reproduces the jitted eval pipeline (verified in-tool), writes a
+    manifest + orbax params, and cross-lowers for TPU from a CPU host."""
+    import export_model
+
+    opts = [
+        "MODEL.MASK_FORMER.HIDDEN_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.MASK_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.CONVS_DIM", "32",
+        "MODEL.MASK_FORMER.NUM_OBJECT_QUERIES", "8",
+        "MODEL.MASK_FORMER.NHEADS", "4",
+        "MODEL.MASK_FORMER.DIM_FEEDFORWARD", "64",
+        "MODEL.MASK_FORMER.DEC_LAYERS", "2",
+        "MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS", "1",
+        "MODEL.MASK_FORMER.TEST.NUM_PREDICTIONS", "4",
+    ]
+    out = str(tmp_path / "export")
+    rc = export_model.main([
+        "--output", out, "--frames", "2", "--height", "64", "--width", "96",
+        "--verify", *opts,
+    ])
+    assert rc == 0
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["input"]["frames"] == [2, 64, 96, 3]
+    assert manifest["output_size"] == [128, 192]
+    assert manifest["masks_packed_along_w"] is True
+    assert os.path.exists(os.path.join(out, "module.bin"))
+    assert os.path.isdir(os.path.join(out, "params"))
+
+    # cross-platform lowering: a TPU artifact from this CPU host
+    out_tpu = str(tmp_path / "export_tpu")
+    rc = export_model.main([
+        "--output", out_tpu, "--platform", "tpu",
+        "--frames", "2", "--height", "64", "--width", "96", *opts,
+    ])
+    assert rc == 0
+    manifest = json.load(open(os.path.join(out_tpu, "manifest.json")))
+    assert manifest["platforms"] == ["tpu"]
