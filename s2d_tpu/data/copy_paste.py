@@ -254,6 +254,14 @@ def copy_paste_image(
         keep = (inter / area_y).max(axis=1) < reject_ioy
     pasted = pasted[keep]
     kept_ids = src_ids[keep]
+    # Cap at the free annotation slots BEFORE carving (carving can only
+    # free more), so every composited object gets a label — compositing
+    # unassignable masks would paint unannotated objects that occlude
+    # labeled ones. (The reference appends Instances unboundedly; the
+    # fixed-slot layout must truncate instead.)
+    n_free = int((~dst["valid"]).sum())
+    pasted = pasted[:n_free]
+    kept_ids = kept_ids[:n_free]
     if pasted.shape[0] == 0:
         return dst
 

@@ -143,6 +143,50 @@ def test_loader(
     return _prefetch(stream(), prefetch)
 
 
+class FinalizeThread:
+    """Bounded background consumer for device->host finalize work (the
+    readback + encode half of the prefetch/compute/finalize overlap the
+    evaluators run).
+
+    Deadlock-safe error path: after the callback raises, the worker keeps
+    DRAINING the queue (discarding items) until close(), so a producer
+    blocked in put() always wakes; put() re-raises the worker's error
+    early, and close() flushes, joins, and re-raises it."""
+
+    _SENTINEL = object()
+
+    def __init__(self, fn, depth: int = 2):
+        self._fn = fn
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err: list = []
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is self._SENTINEL:
+                return
+            if self._err:
+                continue  # failed already: just drain
+            try:
+                self._fn(*item)
+            except BaseException as e:
+                self._err.append(e)
+
+    def put(self, *item) -> None:
+        if self._err:
+            raise self._err[0]
+        self._q.put(item)
+
+    def close(self) -> None:
+        """Flush remaining work, join, and re-raise any worker error."""
+        self._q.put(self._SENTINEL)
+        self._thread.join()
+        if self._err:
+            raise self._err[0]
+
+
 def _prefetch(it: Iterator, depth: int) -> Iterator:
     if depth <= 0:
         return it

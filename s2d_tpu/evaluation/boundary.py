@@ -23,7 +23,7 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 from ..data import rle as rle_codec
-from .ytvos_eval import _evaluate_generic
+from .ytvos_eval import _evaluate_generic, detection_to_track
 
 
 def mask_to_boundary(mask: np.ndarray, dilation_ratio: float = 0.02) -> np.ndarray:
@@ -61,16 +61,7 @@ def evaluate_detections_boundary(
     standard accumulator.
     """
 
-    def to_track(e):
-        seg = e["segmentation"]
-        return {
-            "video_id": e.get("image_id", e.get("video_id")),
-            "category_id": e["category_id"],
-            "segmentations": [seg],
-            "avg_area": float(rle_codec.area(seg)),
-            "iscrowd": e.get("iscrowd", 0),
-            **({"score": e["score"]} if "score" in e else {}),
-        }
+    to_track = detection_to_track
 
     def iou_fn(d_segs: Sequence, g_segs: Sequence) -> float:
         d, g = d_segs[0], g_segs[0]

@@ -152,35 +152,18 @@ def evaluate_dataset(
     #  * the device->host readback + RLE encoding of video i's predictions
     #    runs on a finalize thread while video i+1's forward is enqueued
     #    (jax dispatch is async; the bounded queue caps retained HBM).
-    import threading
-
-    from ..data.loader import _prefetch
+    from ..data.loader import FinalizeThread, _prefetch
 
     mapped = _prefetch(((r, mapper(r)) for r in dicts), depth=2)
 
-    fin_q: "queue.Queue" = queue.Queue(maxsize=2)
-    fin_err: List[BaseException] = []
+    def finalize(video_id, device_out):
+        preds = finalize_predictions(device_out)
+        results.extend(predictions_to_results(video_id, preds))
 
-    def finalize_worker():
-        while True:
-            item = fin_q.get()
-            if item is None:
-                return
-            video_id, device_out = item
-            try:
-                preds = finalize_predictions(device_out)
-                results.extend(predictions_to_results(video_id, preds))
-            except BaseException as e:  # propagate to the main thread
-                fin_err.append(e)
-                return
-
-    fin_thread = threading.Thread(target=finalize_worker, daemon=True)
-    fin_thread.start()
+    fin = FinalizeThread(finalize, depth=2)
 
     start = time.perf_counter()
     for record, sample in mapped:
-        if fin_err:
-            break
         images, (h, w) = preprocess_clip(
             sample["image"], cfg.model.pixel_mean, cfg.model.pixel_std,
             cfg.model.mask_former.size_divisibility,
@@ -217,19 +200,9 @@ def evaluate_dataset(
             use_nms=tcfg.use_nms,
             nms_thresh=tcfg.nms_thresh,
         )
-        fin_q.put((record["video_id"], device_out))
-        for o in record["annotations"]:
-            gt_annotations.append(
-                {
-                    "video_id": record["video_id"],
-                    "category_id": o["category_id"] + 1,
-                    "segmentations": o["segmentations"],
-                }
-            )
-    fin_q.put(None)
-    fin_thread.join()
-    if fin_err:
-        raise fin_err[0]
+        fin.put(record["video_id"], device_out)
+        gt_annotations.extend(collect_gt([record]))
+    fin.close()
     elapsed = time.perf_counter() - start
 
     if output_dir:

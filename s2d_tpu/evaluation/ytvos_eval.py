@@ -198,6 +198,20 @@ def evaluate_detections_boxes(
     return _evaluate_generic(gts, dts, use_cats, iou_fn=box_iou)
 
 
+def detection_to_track(e: dict) -> dict:
+    """Image detection/annotation -> single-frame track entry for the
+    generic accumulator (shared by segm AP and boundary AP)."""
+    seg = e["segmentation"]
+    return {
+        "video_id": e.get("image_id", e.get("video_id")),
+        "category_id": e["category_id"],
+        "segmentations": [seg],
+        "avg_area": float(rle_codec.area(seg)),
+        "iscrowd": e.get("iscrowd", 0),
+        **({"score": e["score"]} if "score" in e else {}),
+    }
+
+
 def evaluate_detections_masks(
     gt_annotations: List[dict],
     predictions: List[dict],
@@ -208,20 +222,8 @@ def evaluate_detections_masks(
     (`cutler/evaluation/coco_evaluation.py`). Entries carry
     {image_id, category_id, segmentation (RLE dict), score?}; each image is
     a single-frame 'video' so the RLE track-IoU path applies unchanged."""
-
-    def to_track(e):
-        seg = e["segmentation"]
-        return {
-            "video_id": e.get("image_id", e.get("video_id")),
-            "category_id": e["category_id"],
-            "segmentations": [seg],
-            "avg_area": float(rle_codec.area(seg)),
-            "iscrowd": e.get("iscrowd", 0),
-            **({"score": e["score"]} if "score" in e else {}),
-        }
-
-    gts = [to_track(g) for g in gt_annotations]
-    dts = [to_track(d) for d in predictions]
+    gts = [detection_to_track(g) for g in gt_annotations]
+    dts = [detection_to_track(d) for d in predictions]
     return _evaluate_generic(gts, dts, use_cats)
 
 

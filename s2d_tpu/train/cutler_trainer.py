@@ -82,6 +82,7 @@ def load_cutler_yaml(path: str) -> Tuple[dict, dict, dict]:
     configure detectron2 plumbing that has no analog here. MIN_SIZE_TRAIN
     scale lists collapse to their median (our mapper resizes to ONE
     static train size; the reference samples per step)."""
+    import ast
     import statistics
 
     from ..config.loader import _load_yaml_with_base
@@ -120,7 +121,7 @@ def load_cutler_yaml(path: str) -> Tuple[dict, dict, dict]:
     if solver.get("STEPS") is not None:
         steps = solver["STEPS"]
         if isinstance(steps, str):
-            steps = eval(steps)  # yacs tuple-as-string
+            steps = ast.literal_eval(steps)  # yacs tuple-as-string
         fields["steps"] = tuple(steps)
     put(fields, "gamma", solver.get("GAMMA"))
     put(fields, "warmup_iters", solver.get("WARMUP_ITERS"))
@@ -132,7 +133,7 @@ def load_cutler_yaml(path: str) -> Tuple[dict, dict, dict]:
     if inp.get("MIN_SIZE_TRAIN") is not None:
         sizes = inp["MIN_SIZE_TRAIN"]
         if isinstance(sizes, str):
-            sizes = eval(sizes)
+            sizes = ast.literal_eval(sizes)
         if isinstance(sizes, (list, tuple)):
             fields["min_size_train"] = int(statistics.median(sizes))
         else:
@@ -169,7 +170,7 @@ def load_cutler_yaml(path: str) -> Tuple[dict, dict, dict]:
     for k in ("TRAIN", "TEST"):
         v = ds.get(k)
         if isinstance(v, str):
-            v = eval(v)
+            v = ast.literal_eval(v)
         if v:
             datasets[k.lower()] = v[0] if isinstance(v, (list, tuple)) else v
     return fields, rcnn, datasets

@@ -179,3 +179,36 @@ def test_copy_paste_image_rate_zero_identity():
     dst = _image_sample(2)
     out = copy_paste_image(rng, dst, _image_sample(3, n_valid=2), rate=0.0)
     np.testing.assert_array_equal(out["image"], dst["image"])
+
+
+def test_copy_paste_image_full_slots_no_orphan_pixels():
+    """When the destination has no free annotation slots, copy-paste must
+    be a no-op: compositing pasted pixels without assigning them a label
+    would train on visible-but-unannotated objects (and carve the labeled
+    ones under them)."""
+    from s2d_tpu.data.copy_paste import copy_paste_image
+
+    rng = np.random.RandomState(0)
+    dst = _image_sample(0, n_valid=4)  # all 4 slots taken
+    src = _image_sample(1, n_valid=3)
+    out = copy_paste_image(rng, dst, src, rate=1.0, random_num=False)
+    np.testing.assert_array_equal(out["image"], dst["image"])
+    np.testing.assert_array_equal(out["masks"], dst["masks"])
+    np.testing.assert_array_equal(out["valid"], dst["valid"])
+
+
+def test_copy_paste_image_partial_slots_every_pixel_labeled():
+    """With fewer free slots than paste candidates, every composited
+    pasted pixel must belong to some labeled instance."""
+    from s2d_tpu.data.copy_paste import copy_paste_image
+
+    rng = np.random.RandomState(0)
+    dst = _image_sample(0, n_valid=3)  # one free slot, 3 candidates
+    src = _image_sample(1, n_valid=3)
+    out = copy_paste_image(rng, dst, src, rate=1.0, random_num=False)
+    changed = np.any(out["image"] != dst["image"], axis=-1)
+    if changed.any():
+        labeled = out["masks"][out["valid"]].any(axis=0)
+        assert not (changed & ~labeled).any(), (
+            "composited pixels outside every labeled instance"
+        )

@@ -154,3 +154,42 @@ def test_prefetch_propagates_worker_errors():
     assert next(it) == 2
     with pytest.raises(RuntimeError, match="boom"):
         next(it)
+
+
+def test_finalize_thread_error_no_deadlock():
+    """A FinalizeThread whose callback raises must propagate the error to
+    the producer instead of deadlocking it: the worker keeps draining the
+    bounded queue after failing, and put()/close() re-raise."""
+    import time
+
+    from s2d_tpu.data.loader import FinalizeThread
+
+    boom = RuntimeError("finalize failed")
+
+    def fn(i):
+        raise boom
+
+    fin = FinalizeThread(fn, depth=1)
+    with pytest.raises(RuntimeError, match="finalize failed"):
+        # more puts than the queue holds: without draining, this blocks
+        deadline = time.monotonic() + 30
+        i = 0
+        while time.monotonic() < deadline:
+            fin.put(i)
+            i += 1
+        raise AssertionError("producer never saw the worker error")
+
+    # close() after the error also re-raises (and returns promptly)
+    with pytest.raises(RuntimeError, match="finalize failed"):
+        fin.close()
+
+
+def test_finalize_thread_flushes_all_items():
+    from s2d_tpu.data.loader import FinalizeThread
+
+    seen = []
+    fin = FinalizeThread(lambda a, b: seen.append((a, b)), depth=2)
+    for i in range(10):
+        fin.put(i, i * 2)
+    fin.close()
+    assert seen == [(i, i * 2) for i in range(10)]

@@ -175,6 +175,32 @@ def test_pq_cli(tmp_path, capsys):
     assert "100.0  100.0  100.0     2" in out
     assert "mIoU: 1.0" in out
 
+    # sparse predictions: uncovered pixels count as class-0 PREDICTIONS
+    # (reference tool initializes the canvas with zeros, line 184), so a
+    # class-1-only prediction must NOT score a perfect class-0 too
+    sparse = [preds[1]]  # only the class-1 half painted
+    sparse_path = tmp_path / "sparse.json"
+    sparse_path.write_text(json.dumps(sparse))
+    rc = cli.main(["--dataset-name", "tiny_pq_val",
+                   "--json-file", str(sparse_path)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # class 0's gt half is now "predicted" by the zero canvas -> still a
+    # TP at IoU 1 here, but mIoU stays 1.0 and, critically, no VOID
+    # exemption: paint NOTHING and class 0 swallows the image
+    empty_path = tmp_path / "empty.json"
+    empty_path.write_text(json.dumps(
+        [{"file_name": "im0.jpg", "category_id": 0,
+          "segmentation": rle.encode(np.zeros((32, 32), bool))}]))
+    rc = cli.main(["--dataset-name", "tiny_pq_val",
+                   "--json-file", str(empty_path)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # all-zeros canvas vs half-0/half-1 gt: class 0 IoU 0.5 (no match at
+    # the >0.5 rule), class 1 FN -> PQ 0, mIoU (0.5 + 0)/2
+    assert "  0.0    0.0    0.0" in out
+    assert "mIoU: 0.25" in out
+
 
 # ------------------------------------------------------------ image demo
 

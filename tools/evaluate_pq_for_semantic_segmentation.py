@@ -67,7 +67,11 @@ def main(argv=None) -> int:
         if gt is None:
             continue
         gt = gt.astype(np.int64)
-        dt = np.full_like(gt, ignore)
+        # unpainted pixels count as class-0 PREDICTIONS (reference tool
+        # line 184: `segm_dt = np.zeros_like(segm_gt)`) — initializing to
+        # ignore would exempt uncovered pixels from FP/mIoU and inflate
+        # scores for sparse predictions
+        dt = np.zeros_like(gt)
         for p in by_stem[stem]:
             m = rle.decode(p["segmentation"]).astype(bool)
             dt[m] = p["category_id"]

@@ -217,10 +217,7 @@ def main(argv=None):
     # same overlap pattern as the video evaluator: image decode/resize on
     # a prefetch thread, device->host readback + mask paste + RLE on a
     # finalize thread, while the main thread keeps the device fed
-    import queue
-    import threading
-
-    from s2d_tpu.data.loader import _prefetch
+    from s2d_tpu.data.loader import FinalizeThread, _prefetch
 
     def finalize(record, s, det):
         boxes, scores, classes, valid = (np.asarray(x) for x in det[:4])
@@ -244,22 +241,7 @@ def main(argv=None):
                     "segmentation": rle_codec.encode(masks_k[di]),
                 })
 
-    fin_q: "queue.Queue" = queue.Queue(maxsize=2)
-    fin_err: list = []
-
-    def finalize_worker():
-        while True:
-            item = fin_q.get()
-            if item is None:
-                return
-            try:
-                finalize(*item)
-            except BaseException as e:
-                fin_err.append(e)
-                return
-
-    fin_thread = threading.Thread(target=finalize_worker, daemon=True)
-    fin_thread.start()
+    fin = FinalizeThread(finalize, depth=2)
 
     mapped = _prefetch(
         ((r, map_image_record(r, cfg, is_train=False)) for r in dicts),
@@ -268,10 +250,8 @@ def main(argv=None):
     for record, s in mapped:
         if s is None:
             continue
-        if fin_err:
-            break
         det = infer(params, jnp.asarray(s["image"])[None])
-        fin_q.put((record, s, det))
+        fin.put(record, s, det)
         for ann in record.get("annotations", []):
             gts.append({
                 "image_id": record["image_id"],
@@ -290,10 +270,7 @@ def main(argv=None):
                     "segmentation": seg,
                     "iscrowd": ann.get("iscrowd", 0),
                 })
-    fin_q.put(None)
-    fin_thread.join()
-    if fin_err:
-        raise fin_err[0]
+    fin.close()
     metrics = {
         f"bbox/{k}": v
         for k, v in evaluate_detections_boxes(

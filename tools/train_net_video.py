@@ -141,17 +141,24 @@ def main(argv=None):
                 from jax.experimental import multihost_utils
 
                 multihost_utils.sync_global_devices(f"eval:{dataset_name}")
+                if shard == 0:
+                    from s2d_tpu.evaluation.evaluator import (
+                        merge_shard_results,
+                        score_results,
+                    )
+
+                    results = merge_shard_results(cfg.output_dir, nshards)
+                    metrics = score_results(
+                        dataset_name, results, max_videos=args.max_videos
+                    )
+                # second barrier: the NEXT dataset reuses the same
+                # results_shard{i}.json names, so other hosts must not
+                # start writing them until host 0 has read these
+                multihost_utils.sync_global_devices(
+                    f"eval-merged:{dataset_name}"
+                )
                 if shard != 0:
                     continue
-                from s2d_tpu.evaluation.evaluator import (
-                    merge_shard_results,
-                    score_results,
-                )
-
-                results = merge_shard_results(cfg.output_dir, nshards)
-                metrics = score_results(
-                    dataset_name, results, max_videos=args.max_videos
-                )
             print(f"[{dataset_name}] " + "  ".join(
                 f"{k}: {v:.4f}" for k, v in metrics.items()
             ))
@@ -304,13 +311,16 @@ def main(argv=None):
             host.update(timer.metrics())
             logger.log(p_it, host)
 
+        tracing = False
         for it in range(start_iter, cfg.solver.max_iter):
             if args.profile_dir:
                 # skip the compile step; bracket a few steady-state steps
-                if it == start_iter + 10:
+                if it == start_iter + 10 and args.profile_steps > 0:
                     jax.profiler.start_trace(args.profile_dir)
-                elif it == start_iter + 10 + args.profile_steps:
+                    tracing = True
+                elif tracing and it == start_iter + 10 + args.profile_steps:
                     jax.profiler.stop_trace()
+                    tracing = False
                     print(f"profiler trace written to {args.profile_dir}")
             batch = next(loader_iter)
             timer.data_done()
@@ -338,6 +348,11 @@ def main(argv=None):
                 logger.log(it, run_eval(state, it + 1))
                 timer = StepTimer()  # eval time must not count as data time
         flush_pending()
+        if tracing:
+            # the run ended inside the profiling window — close the trace
+            # so it is actually written instead of dying with the process
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile_dir}")
     ckpt_writer.close()
     return 0
 
