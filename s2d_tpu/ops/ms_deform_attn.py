@@ -58,11 +58,19 @@ def ms_deform_attn(
       (B, Lq, M * D) attended features.
     """
     if impl in ("pallas", "pallas_auto"):
+        import os
+
         from .ms_deform_attn_pallas import ms_deform_attn_pallas
 
+        # S2D_MSDA_QTILE: lane-tile override for whole-pipeline A/B runs
+        # (the kernel's ~2.6 ms/op non-MXU cost is per-grid-cell dispatch,
+        # so fewer/larger tiles may win — measure before changing the
+        # default). Read at TRACE time: set it before the process jits.
+        q_tile = int(os.environ.get("S2D_MSDA_QTILE", "512"))
         return ms_deform_attn_pallas(
             value, tuple(spatial_shapes), sampling_locations,
             attention_weights,
+            q_tile=q_tile,
             # "pallas_auto": per-level axis orientation with the smaller
             # spatial axis in the output (~42% fewer padded-K FLOPs at
             # wide aspect ratios); "pallas" keeps the original layout

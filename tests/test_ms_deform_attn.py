@@ -284,3 +284,32 @@ def test_msda_pallas_swap_wide_level_multitile_k():
         )
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_dispatch_qtile_env_knob(monkeypatch):
+    """ms_deform_attn(impl="pallas*") honors S2D_MSDA_QTILE at trace time
+    and maps pallas_auto -> orient="auto" (whole-pipeline A/B knob)."""
+    import importlib
+
+    # the ops package re-exports the FUNCTION under the same name, which
+    # shadows the submodule attribute — go through importlib
+    mod = importlib.import_module("s2d_tpu.ops.ms_deform_attn")
+    pmod = importlib.import_module("s2d_tpu.ops.ms_deform_attn_pallas")
+
+    captured = {}
+
+    def fake(value, shapes, locs, wts, q_tile=512, orient="y", **kw):
+        captured.update(q_tile=q_tile, orient=orient)
+        b, lq = value.shape[0], locs.shape[1]
+        return jnp.zeros((b, lq, value.shape[2] * value.shape[3]))
+
+    monkeypatch.setattr(pmod, "ms_deform_attn_pallas", fake)
+    monkeypatch.setenv("S2D_MSDA_QTILE", "1024")
+    b, m, d = 1, 2, 4
+    shapes = [(4, 6)]
+    value = jnp.zeros((b, 24, m, d))
+    locs = jnp.zeros((b, 5, m, 1, 2, 2))
+    wts = jnp.zeros((b, 5, m, 1, 2))
+    out = mod.ms_deform_attn(value, shapes, locs, wts, impl="pallas_auto")
+    assert out.shape == (b, 5, m * d)
+    assert captured == {"q_tile": 1024, "orient": "auto"}
