@@ -93,6 +93,25 @@ def choose_lattice(
     return best
 
 
+def upsample_blend_weights(r, phase, m, dtype=jnp.float32):
+    """3-tap weights over source taps {-1, 0, +1} for integer upsampling
+    by m at output residue(s) r with a random phase: output position
+    q + (r + phase)/m - 0.5 (half-integer centres, zeros outside).
+
+    THE single definition of the lattice phase/border convention — both
+    the XLA path (_interp_axis) and the fused pallas point-loss kernel
+    (point_loss_pallas.y_blend_weights) build their blends from it, so
+    they cannot silently diverge."""
+    delta = (r + phase) / m - 0.5  # in [-0.5, 0.5)
+    f = jnp.floor(delta)  # -1 or 0
+    frac = (delta - f).astype(dtype)
+    is_m1 = (f < -0.5).astype(dtype)
+    w_m1 = (1.0 - frac) * is_m1
+    w_0 = frac * is_m1 + (1.0 - frac) * (1.0 - is_m1)
+    w_p1 = frac * (1.0 - is_m1)
+    return w_m1, w_0, w_p1
+
+
 def _interp_axis(x: jnp.ndarray, axis: int, L: int, phase: jnp.ndarray):
     """Resample `axis` (length n) of `x` to L lattice positions: output i
     bilinearly samples source coordinate (i + phase)/L in [0, 1], i.e.
@@ -114,13 +133,7 @@ def _interp_axis(x: jnp.ndarray, axis: int, L: int, phase: jnp.ndarray):
         )
         outs = []
         for r in range(m):
-            delta = (r + phase) / m - 0.5  # in [-0.5, 0.5)
-            f = jnp.floor(delta)  # -1 or 0
-            frac = (delta - f).astype(x.dtype)
-            is_m1 = (f < -0.5).astype(x.dtype)
-            w_m1 = (1.0 - frac) * is_m1
-            w_0 = frac * is_m1 + (1.0 - frac) * (1.0 - is_m1)
-            w_p1 = frac * (1.0 - is_m1)
+            w_m1, w_0, w_p1 = upsample_blend_weights(r, phase, m, x.dtype)
             outs.append(w_m1 * xm1 + w_0 * x + w_p1 * xp1)
         out = jnp.stack(outs, axis=axis % x.ndim + 1)  # (..., n, m, ...)
         shape = list(x.shape)

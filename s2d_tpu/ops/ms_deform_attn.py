@@ -50,9 +50,12 @@ def ms_deform_attn(
       impl: "xla" (this file), "xla_gather" (forces the row-gather sampling
         unit whose backward is a scatter-add — the training-safe XLA
         choice: the onehot unit's backward materializes the sparse
-        interpolation matrix and OOMs HBM), or "pallas" (separable-MXU TPU
+        interpolation matrix and OOMs HBM), "pallas" (separable-MXU TPU
         kernel, differentiable via a transposed-kernel custom VJP —
-        fastest for both eval and training on TPU).
+        fastest for both eval and training on TPU), or "pallas_auto"
+        (same kernel with per-level axis orientation chosen to minimize
+        padded MXU FLOPs; pending on-chip measurement before becoming
+        the TPU default).
 
     Returns:
       (B, Lq, M * D) attended features.

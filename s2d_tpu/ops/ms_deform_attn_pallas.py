@@ -315,10 +315,12 @@ def _prep_operands(value, spatial_shapes, sampling_locations,
     vs the VPU blend (output rows x D):
       * "y":   K = H, output rows = W*D (the original layout);
       * "swap": K = W, output rows = H*D;
-      * "auto": per level, put the SMALLER axis in the output — since K
-        pads to 128 regardless, MXU FLOPs and the VPU epilogue both scale
-        with output rows, so min(H, W)*D wins (H/W = 0.575 at the eval
-        protocol => ~42% fewer padded FLOPs per level).
+      * "auto": per level, pick whichever orientation minimizes padded
+        MXU FLOPs = output_rows x round_up(K, 128). At the eval protocol
+        (every axis <= 128, K pads to 128 either way) this puts the
+        smaller axis in the output: min(H, W)*D rows, ~42% fewer padded
+        FLOPs at H/W = 0.575. At larger levels the round_up term decides
+        (see the swap condition below).
     The kernel itself is orientation-agnostic: a swapped level just feeds
     it (W, H) as its "spatial shape" with the x/y corner roles exchanged.
     """
@@ -334,7 +336,15 @@ def _prep_operands(value, spatial_shapes, sampling_locations,
     fracs = []
     start = 0
     for lid, (hh, ww) in enumerate(spatial_shapes):
-        swapped = orient == "swap" or (orient == "auto" and hh < ww)
+        # "auto": pick the orientation with fewer PADDED MXU FLOPs —
+        # output_rows * round_up(K, 128), i.e. swap (K=W) iff
+        # H*ceil128(W) < W*ceil128(H). A bare `hh < ww` compare is wrong
+        # once the swapped axis exceeds 128 (e.g. a 92x160 level: 92<160
+        # would swap onto K=256 and do ~15% MORE work).
+        swapped = orient == "swap" or (
+            orient == "auto"
+            and hh * _round_up(ww, 128) < ww * _round_up(hh, 128)
+        )
         v = value[:, start : start + hh * ww].astype(compute_dtype)
         v = v.reshape(b, hh, ww, m, d)
 
@@ -416,7 +426,7 @@ def _unpack_dv(dv_t, hh, ww, b, m, d, value_dtype, swapped=False):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6))
 def _msda_pallas(
-    static: Tuple,  # (spatial_shapes, b, m)
+    static: Tuple,  # (spatial_shapes, b, m, orient)
     value: jnp.ndarray,
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,

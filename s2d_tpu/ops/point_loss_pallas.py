@@ -80,15 +80,12 @@ def y_blend_weights(h: int, ly: int, phase_y: jnp.ndarray) -> jnp.ndarray:
     lattice row l (m = Ly // h, integer upsample; zero-padded sources make
     the border rows exact)."""
     assert ly % h == 0, (h, ly)
+    from .lattice import upsample_blend_weights
+
     m = ly // h
     r = jnp.arange(ly, dtype=jnp.float32) % m
-    delta = (r + phase_y) / m - 0.5  # in [-0.5, 0.5)
-    f = jnp.floor(delta)  # -1 or 0
-    frac = delta - f
-    is_m1 = (f < -0.5).astype(jnp.float32)
-    w_m1 = (1.0 - frac) * is_m1
-    w_0 = frac * is_m1 + (1.0 - frac) * (1.0 - is_m1)
-    w_p1 = frac * (1.0 - is_m1)
+    # the ONE lattice phase/border convention, shared with _interp_axis
+    w_m1, w_0, w_p1 = upsample_blend_weights(r, phase_y, m)
     return jnp.stack([w_m1, w_0, w_p1], axis=1)  # (Ly, 3)
 
 

@@ -313,3 +313,28 @@ def test_dispatch_qtile_env_knob(monkeypatch):
     out = mod.ms_deform_attn(value, shapes, locs, wts, impl="pallas_auto")
     assert out.shape == (b, 5, m * d)
     assert captured == {"q_tile": 1024, "orient": "auto"}
+
+
+def test_auto_orientation_counts_padding():
+    """orient='auto' minimizes padded MXU FLOPs = output_rows *
+    round_up(K, 128), not a bare H<W compare: at (92, 160) swapping would
+    put K=256 and do ~15% MORE work, so auto must NOT swap there, while
+    at the protocol's (46, 80) it must."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    pmod = importlib.import_module("s2d_tpu.ops.ms_deform_attn_pallas")
+
+    def kernel_shapes(h, w):
+        b, m, d, lq, p = 1, 1, 4, 3, 1
+        value = jnp.zeros((b, h * w, m, d))
+        locs = jnp.full((b, lq, m, 1, p, 2), 0.5)
+        wts = jnp.ones((b, lq, m, 1, p))
+        _, _, _, _, ks = pmod._prep_operands(
+            value, [(h, w)], locs, wts, jnp.float32, orient="auto")
+        return ks[0]
+
+    assert kernel_shapes(46, 80) == (80, 46)   # swapped: 46*128 < 80*128
+    assert kernel_shapes(92, 160) == (92, 160)  # NOT swapped: 92*256 > 160*128
+    assert kernel_shapes(160, 92) == (92, 160)  # tall level: swap to K=92
