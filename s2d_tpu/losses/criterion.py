@@ -33,19 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
-from ..ops.sampling import grid_sample_packed, pack_2x2, point_sample
 from .matcher import hungarian_assign, match_costs, sample_match_points
-
-
-def _point_sample_maps(maps: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
-    """Per-row bilinear sampling of single-channel maps via the 2x2-packed
-    single-fetch path: (R, H, W) maps + (R, P, 2) [0,1] coords -> (R, P).
-    One 4-lane row fetch per point instead of four 1-lane corner fetches —
-    per-row coords cannot share gathers, so fetch count is the lever."""
-    r, h, w = maps.shape
-    packed = pack_2x2(maps.reshape(r, h * w, 1), h, w)  # (R, HW, 4)
-    grid = 2.0 * coords - 1.0
-    return grid_sample_packed(packed, grid, h, w, onehot=False)[..., 0]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -153,35 +141,6 @@ def _lane_packed_sample(
     rows = maps.astype(dtype).reshape(r, h * w).T[None]  # (1, HW, R)
     grid = (2.0 * pool - 1.0)[None]
     return _pool_gather(rows, grid, h, w, precision)[0].T
-
-
-def _chunked_topk_indices(values: jnp.ndarray, k: int, chunk: int = 4096) -> jnp.ndarray:
-    """Top-k indices over the last axis via per-chunk partial selection.
-
-    A single top_k over S=480K elements lowers to a full row sort on TPU —
-    measured as THE train-step bottleneck (48 s/step at the reference's
-    TRAIN_NUM_POINTS=160000). The pool being selected from is an iid
-    uniform draw, so taking the top k/n_chunks of each contiguous chunk is
-    statistically the same selection as the global top-k (per-chunk
-    quantiles of an iid sample estimate the global quantile); many small
-    sorts replace one huge one. Falls back to exact top_k when the row is
-    small or does not split evenly."""
-    s = values.shape[-1]
-    # largest chunk count that divides both S and k with chunks >= `chunk`
-    import math
-
-    n_chunks = math.gcd(s, k)
-    while n_chunks > 1 and s // n_chunks < chunk:
-        # shrink to a divisor that keeps chunks at least `chunk` long
-        n_chunks //= [f for f in (2, 3, 5, 7, n_chunks) if n_chunks % f == 0][0]
-    if n_chunks < 2 or s < 4 * chunk:
-        return jax.lax.top_k(values, k)[1]
-    per = k // n_chunks
-    chunk_len = s // n_chunks
-    v = values.reshape(*values.shape[:-1], n_chunks, chunk_len)
-    _, idx = jax.lax.top_k(v, per)  # (..., n_chunks, per)
-    offs = (jnp.arange(n_chunks) * chunk_len)[:, None]
-    return (idx + offs).reshape(*values.shape[:-1], k)
 
 
 def _uncertainty_threshold(

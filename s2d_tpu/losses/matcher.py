@@ -24,7 +24,6 @@ oracle for tests.
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -32,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.auction import auction_assign
-from ..ops.sampling import grid_sample_rows, point_sample
+from ..ops.sampling import grid_sample_rows
 
 
 def batch_sigmoid_ce_cost(

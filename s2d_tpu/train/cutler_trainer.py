@@ -64,6 +64,13 @@ class CutlerTrainerConfig:
     warmup_factor: float = 0.001
     max_iter: int = 80000
     clip_value: float = 0.0        # 0 = no clipping (d2 cutler default)
+    # d2 CLIP_GRADIENTS.CLIP_TYPE: "norm" (per-parameter clip_grad_norm_,
+    # the model-zoo setting), "value" (elementwise clamp, d2 default), or
+    # "full_model" (global norm)
+    clip_type: str = "norm"
+    # SOLVER.IMS_PER_BATCH realized as gradient accumulation over
+    # single-image micro-steps (one optimizer step per accum_steps)
+    accum_steps: int = 1
     # test
     score_thresh: float = 0.005
     nms_thresh: float = 0.5
@@ -127,9 +134,15 @@ def load_cutler_yaml(path: str) -> Tuple[dict, dict, dict]:
     put(fields, "warmup_iters", solver.get("WARMUP_ITERS"))
     put(fields, "warmup_factor", solver.get("WARMUP_FACTOR"))
     put(fields, "max_iter", solver.get("MAX_ITER"))
+    # IMS_PER_BATCH -> accumulation: N single-image micro-steps average
+    # into one optimizer step, so BASE_LR/MAX_ITER keep their reference
+    # batch-N meaning (the CLI runs max_iter * accum_steps micro-steps)
+    put(fields, "accum_steps", solver.get("IMS_PER_BATCH"))
     clip = solver.get("CLIP_GRADIENTS", {})
     if clip.get("ENABLED"):
-        put(fields, "clip_value", clip.get("CLIP_VALUE"))
+        # d2 defaults: CLIP_VALUE 1.0, CLIP_TYPE "value" when unset
+        fields["clip_value"] = float(clip.get("CLIP_VALUE", 1.0))
+        fields["clip_type"] = str(clip.get("CLIP_TYPE", "value"))
     if inp.get("MIN_SIZE_TRAIN") is not None:
         sizes = inp["MIN_SIZE_TRAIN"]
         if isinstance(sizes, str):
@@ -176,6 +189,25 @@ def load_cutler_yaml(path: str) -> Tuple[dict, dict, dict]:
     return fields, rcnn, datasets
 
 
+def clip_by_per_param_norm(max_norm: float) -> optax.GradientTransformation:
+    """d2 CLIP_TYPE 'norm': torch clip_grad_norm_ applied to EACH parameter
+    tensor separately (per_param_clipper, d2 solver/build.py) — NOT the
+    global norm, which with hundreds of tensors is ~sqrt(#tensors) larger
+    and would clip nearly every step."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        def clip(g):
+            n = jnp.sqrt(jnp.sum(jnp.square(g)))
+            return g * jnp.minimum(1.0, max_norm / (n + 1e-6))
+
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_cutler_optimizer(
     params,
     cfg: CutlerTrainerConfig,
@@ -184,7 +216,13 @@ def build_cutler_optimizer(
 
     Reference `cutler/solver/build.py:123-142`: for each named parameter,
     if any entry of BASE_LR_MULTIPLIER_NAMES is a substring of the full
-    dotted name, its lr becomes base_lr * BASE_LR_MULTIPLIER."""
+    dotted name, its lr becomes base_lr * BASE_LR_MULTIPLIER.
+    `accum_steps` realizes SOLVER.IMS_PER_BATCH as gradient accumulation
+    over single-image micro-steps (optax.MultiSteps: the LR schedule and
+    the clip see the AVERAGED batch gradient on boundaries, matching the
+    reference's one-optimizer-step-per-batch semantics)."""
+    from .optim import scale_by_tree
+
     names = cfg.base_lr_multiplier_names
 
     def label(path, leaf):
@@ -202,22 +240,27 @@ def build_cutler_optimizer(
         cfg.base_lr, cfg.steps, cfg.gamma, cfg.warmup_iters, cfg.warmup_factor
     )
 
-    def scale_by_tree(updates, state, params=None):
-        return (
-            jax.tree_util.tree_map(lambda u, m: u * m, updates, mult_tree),
-            state,
+    if cfg.clip_value > 0:
+        clip = (
+            clip_by_per_param_norm(cfg.clip_value)
+            if cfg.clip_type == "norm"
+            else optax.clip(cfg.clip_value)
+            if cfg.clip_type == "value"
+            else optax.clip_by_global_norm(cfg.clip_value)  # full_model
         )
-
+    else:
+        clip = optax.identity()
     chain = [
-        optax.clip_by_global_norm(cfg.clip_value)
-        if cfg.clip_value > 0
-        else optax.identity(),
+        clip,
         optax.add_decayed_weights(cfg.weight_decay),
         optax.trace(decay=cfg.momentum),
-        optax.GradientTransformation(lambda p: optax.EmptyState(), scale_by_tree),
+        scale_by_tree(mult_tree),
         optax.scale_by_learning_rate(schedule),
     ]
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if cfg.accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    return tx
 
 
 def make_cutler_train_step(model, cfg: CutlerTrainerConfig, tx):

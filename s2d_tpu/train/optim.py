@@ -28,17 +28,28 @@ import optax
 from ..config import Config
 from .schedules import warmup_multistep_lr
 
-NORM_SUFFIXES = ("_gn", "_norm", "norm", "norm1", "norm2", "norm3")
-EMBED_LEAVES = ("query_feat", "query_embed", "level_embed")
+NORM_SUFFIXES = ("_gn", "_norm", "norm", "norm0", "norm1", "norm2", "norm3")
+EMBED_LEAVES = (
+    "query_feat", "query_embed", "level_embed",
+    # swin: reference no-decay set (d2 swin configs' WEIGHT_DECAY_EMBED
+    # names: relative_position_bias_table, absolute_pos_embed)
+    "relative_position_bias_table", "absolute_pos_embed",
+)
 
 
 def _path_names(path) -> list:
     return [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
 
 
-def label_params(params) -> Any:
+def label_params(params, frozen_backbone_norms: bool = True) -> Any:
     """Label every leaf: 'frozen' | '<group>_decay' | '<group>_nodecay'
-    with group in {backbone, head}."""
+    with group in {backbone, head}.
+
+    `frozen_backbone_norms=True` is the R50-FrozenBN case: backbone norm
+    affines are d2 BUFFERS (never optimized). Swin backbones pass False —
+    their LayerNorms TRAIN in the reference (build_optimizer excludes only
+    FrozenBN; norms get WEIGHT_DECAY_NORM=0), so they label
+    backbone_nodecay instead of frozen."""
 
     def label(path, leaf):
         names = _path_names(path)
@@ -46,7 +57,7 @@ def label_params(params) -> Any:
         leaf_name = names[-1]
         parent = names[-2] if len(names) >= 2 else ""
         is_norm_param = parent.endswith(NORM_SUFFIXES) or parent == "norm"
-        if in_backbone and is_norm_param:
+        if in_backbone and is_norm_param and frozen_backbone_norms:
             return "frozen"  # FrozenBN affine = d2 buffer
         if leaf_name in EMBED_LEAVES or is_norm_param:
             return ("backbone_nodecay" if in_backbone else "head_nodecay")
@@ -74,7 +85,10 @@ def scale_by_tree(multipliers) -> optax.GradientTransformation:
 
 def build_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     solver = cfg.solver
-    labels = label_params(params)
+    labels = label_params(
+        params,
+        frozen_backbone_norms="swin" not in cfg.model.backbone.name.lower(),
+    )
 
     lr_mult = _tree_multiplier(
         labels,

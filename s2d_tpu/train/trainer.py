@@ -120,6 +120,22 @@ def make_train_step(
     if teacher_model is None:
         teacher_model = model
     mf = cfg.model.mask_former
+    # prepare_distillation_targets keeps ALL queries above the score
+    # threshold, which equals the reference's top-k + threshold
+    # (kd_video_maskformer_model.py:441-449) only when k == Q and no NMS
+    # runs between them — reject configs that silently wouldn't match.
+    if cfg.model.meta_architecture == "KDVideoMaskFormer":
+        if mf.num_predictions_distillation < mf.num_object_queries:
+            raise NotImplementedError(
+                "NUM_PREDICTIONS_DISTILLATION < NUM_OBJECT_QUERIES: the "
+                "k >= Q identity prepare_distillation_targets relies on "
+                f"does not hold ({mf.num_predictions_distillation} < "
+                f"{mf.num_object_queries})"
+            )
+        if mf.distillation_nms:
+            raise NotImplementedError(
+                "DISTILLATION_NMS is not implemented in the train step"
+            )
     crit_cfg = CriterionConfig(
         num_classes=cfg.model.sem_seg_head.num_classes,
         eos_coef=mf.no_object_weight,
@@ -156,6 +172,7 @@ def make_train_step(
     factors_fn = loss_weight_factors(cfg, cfg.solver.max_iter)
     ema_fn = ema_momentum_schedule(cfg)
     kd_enabled = cfg.model.meta_architecture == "KDVideoMaskFormer"
+    accum_iter = max(cfg.solver.accum_iter, 1)
 
     def train_step(
         state: TrainState,
@@ -238,18 +255,39 @@ def make_train_step(
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        # NaN-loss skip
+        # NaN-loss skip (reference train_loop.py AMP skip): a zeroed
+        # gradient alone is NOT a skip — Adam moments and weight decay
+        # would still move params — so hold params/opt_state wholesale on
+        # a non-finite step. Under accumulation the zero gradient still
+        # advances MultiSteps' micro counter (the bad micro-batch simply
+        # contributes nothing to the average).
         finite = jnp.isfinite(total)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            params, state.params,
+        )
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            opt_state, state.opt_state,
+        )
 
         if kd_enabled:
+            # EMA only on optimizer-step boundaries (reference
+            # train_loop.py:760-763 gates on (iter+1) % accum == 0);
+            # blending every micro-step would decay the teacher-student
+            # gap m^k per real update instead of m. state.step counts
+            # micro-steps in lockstep with MultiSteps' internal counter.
             m = ema_fn(state.step)
+            boundary = ((state.step + 1) % accum_iter == 0) & finite
             teacher_params = jax.tree_util.tree_map(
-                lambda t, s: m * t + (1.0 - m) * s.astype(t.dtype),
+                lambda t, s: jnp.where(
+                    boundary, m * t + (1.0 - m) * s.astype(t.dtype), t
+                ),
                 state.teacher_params,
                 params,
             )

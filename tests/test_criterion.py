@@ -171,30 +171,6 @@ def test_criterion_jit_with_aux():
     assert "loss_ce_0" not in losses  # labels skipped for aux layers
 
 
-def test_chunked_topk_selection():
-    """Chunked partial selection: exact fallback for small rows, unique
-    indices and near-exact selection at reference pool scale."""
-    import jax
-    import jax.numpy as jnp
-
-    from s2d_tpu.losses.criterion import _chunked_topk_indices
-
-    v2 = jax.random.normal(jax.random.PRNGKey(1), (3, 192))
-    np.testing.assert_array_equal(
-        np.asarray(_chunked_topk_indices(v2, 48)),
-        np.asarray(jax.lax.top_k(v2, 48)[1]),
-    )
-
-    v = jax.random.normal(jax.random.PRNGKey(0), (2, 48000))
-    k = 12000
-    idx = _chunked_topk_indices(v, k)
-    assert idx.shape == (2, k)
-    assert len(np.unique(np.asarray(idx[0]))) == k
-    sel = jnp.take_along_axis(v, idx, axis=1)
-    kth = jax.lax.top_k(v, k)[0][:, -1:]
-    assert float((sel >= kth).mean()) > 0.98
-
-
 def test_set_criterion_pair_matches_two_calls():
     """The batched-auction pair produces the same losses as two separate
     set_criterion calls (solves are independent under vmap, so batching

@@ -193,6 +193,8 @@ def test_cutler_yaml_config_mapping():
     assert fields["base_lr"] == 0.01           # child overrides base's 0.02
     assert fields["steps"] == (80000,)
     assert fields["clip_value"] == 1.0         # CLIP_GRADIENTS.ENABLED
+    assert fields["clip_type"] == "norm"       # d2 per-param clip_grad_norm_
+    assert fields["accum_steps"] == 16         # IMS_PER_BATCH as accumulation
     assert fields["min_size_train"] == 688     # median of the scale list
     # DropLoss OFF (-1 keeps every proposal): the reference cuts3d recipe
     # leaves USE_DROPLOSS at its False default (cutler_config.py:13)
@@ -313,3 +315,44 @@ def test_standard_roi_heads_single_stage():
     boxes, scores, classes, valid = cascade_detections(
         out, cfg.num_classes, 0.0, 0.5, 8)
     assert boxes.shape == (8, 4) and scores.shape == (8,)
+
+
+def test_per_param_norm_clip():
+    """CLIP_TYPE 'norm' clips EACH tensor's norm (d2 per_param_clipper),
+    not the global norm: a small-gradient tensor must pass through
+    unscaled even when a large one is clipped."""
+    from s2d_tpu.train.cutler_trainer import clip_by_per_param_norm
+
+    tx = clip_by_per_param_norm(1.0)
+    grads = {"small": jnp.asarray([0.3, 0.4]),      # norm 0.5 -> untouched
+             "large": jnp.asarray([30.0, 40.0])}    # norm 50 -> scaled to 1
+    out, _ = tx.update(grads, tx.init(grads))
+    np.testing.assert_allclose(np.asarray(out["small"]), [0.3, 0.4], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["large"])), 1.0, rtol=1e-4)
+    # global-norm clipping would have scaled BOTH by ~1/50
+
+
+def test_ims_per_batch_accumulation():
+    """accum_steps (SOLVER.IMS_PER_BATCH) makes one optimizer step per N
+    micro-steps: params hold within a batch window and the applied update
+    is the micro-gradient average."""
+    from s2d_tpu.train.cutler_trainer import (
+        CutlerTrainerConfig,
+        build_cutler_optimizer,
+    )
+
+    cfg = CutlerTrainerConfig(
+        base_lr=1.0, momentum=0.0, weight_decay=0.0, warmup_iters=0,
+        steps=(10_000,), accum_steps=2, clip_value=0.0,
+    )
+    params = {"w": jnp.zeros((2,))}
+    tx = build_cutler_optimizer(params, cfg)
+    state = tx.init(params)
+    g1 = {"w": jnp.asarray([1.0, 0.0])}
+    g2 = {"w": jnp.asarray([0.0, 1.0])}
+    up1, state = tx.update(g1, state, params)
+    assert np.allclose(np.asarray(up1["w"]), 0.0)  # mid-batch: hold
+    up2, state = tx.update(g2, state, params)
+    np.testing.assert_allclose(  # boundary: lr * mean(g1, g2)
+        np.asarray(up2["w"]), [-0.5, -0.5], rtol=1e-6)

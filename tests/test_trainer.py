@@ -263,3 +263,100 @@ def test_packed_target_masks_match_bool():
     )
     assert batch["masks"].dtype == np.uint8
     assert batch["masks"].shape[-1] * 8 == batch["images"].shape[3]
+
+
+def _mk_state(model, cfg, images):
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, images)
+    tx = build_optimizer(cfg, params)
+    return tx, TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        teacher_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=tx.init(params),
+    )
+
+
+def test_ema_gated_on_accum_boundary():
+    """Under gradient accumulation the EMA teacher blends only on
+    optimizer-step boundaries (reference train_loop.py:760-763), not on
+    every micro-step."""
+    cfg = load_config(None, opts=[
+        "MODEL.MASK_FORMER.HIDDEN_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.MASK_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.CONVS_DIM", "32",
+        "MODEL.MASK_FORMER.NUM_OBJECT_QUERIES", "8",
+        "MODEL.MASK_FORMER.NHEADS", "4",
+        "MODEL.MASK_FORMER.DIM_FEEDFORWARD", "64",
+        "MODEL.MASK_FORMER.DEC_LAYERS", "2",
+        "MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS", "1",
+        "MODEL.MASK_FORMER.TRAIN_NUM_POINTS", "64",
+        "SOLVER.AMP.ENABLED", "False",
+        "SOLVER.ACCUM_ITER", "2",
+    ])
+    model = _tiny_model(cfg)
+    b, t, h, w, n = 1, 2, 32, 32, 3
+    images = jax.random.normal(jax.random.PRNGKey(0), (b, t, h, w, 3))
+    tx, state = _mk_state(model, cfg, images)
+    masks = jax.random.uniform(jax.random.PRNGKey(1), (b, n, t, h, w)) > 0.7
+    valid = jnp.asarray([[True, True, False]])
+    step_fn = jax.jit(make_train_step(model, cfg, tx))
+
+    leaf = lambda s: np.asarray(
+        s.teacher_params["params"]["predictor"]["class_embed"]["kernel"])
+    s1, _ = step_fn(state, images, masks, valid, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(leaf(s1), leaf(state))  # micro-step: hold
+    s2, _ = step_fn(s1, images, masks, valid, jax.random.PRNGKey(3))
+    assert not np.array_equal(leaf(s2), leaf(s1))  # boundary: blend
+
+
+def test_nan_step_holds_params_and_teacher():
+    """A non-finite loss is a full skip: params, optimizer state, and the
+    EMA teacher all hold (zeroed grads alone would still move params via
+    Adam moments + weight decay)."""
+    cfg = _tiny_cfg()
+    model = _tiny_model(cfg)
+    b, t, h, w, n = 1, 2, 32, 32, 3
+    images = jax.random.normal(jax.random.PRNGKey(0), (b, t, h, w, 3))
+    tx, state = _mk_state(model, cfg, images)
+    masks = jax.random.uniform(jax.random.PRNGKey(1), (b, n, t, h, w)) > 0.7
+    valid = jnp.asarray([[True, True, False]])
+    step_fn = jax.jit(make_train_step(model, cfg, tx))
+
+    # one good step to put nonzero Adam moments in the optimizer state
+    s1, _ = step_fn(state, images, masks, valid, jax.random.PRNGKey(2))
+    bad = images.at[0, 0, 0, 0, 0].set(jnp.nan)
+    s2, metrics = step_fn(s1, bad, masks, valid, jax.random.PRNGKey(3))
+    assert float(metrics["grad_finite"]) == 0.0
+    for old, new in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+    for old, new in zip(jax.tree_util.tree_leaves(s1.teacher_params),
+                        jax.tree_util.tree_leaves(s2.teacher_params)):
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+    assert int(s2.step) == int(s1.step) + 1
+
+
+def test_label_params_swin_norms_train():
+    """Swin backbone LayerNorms are TRAINABLE no-decay params (the
+    reference optimizer excludes only FrozenBN buffers; WEIGHT_DECAY_NORM
+    applies to norms, WEIGHT_DECAY_EMBED to the relative position bias
+    table) — they must not inherit the R50 FrozenBN 'frozen' label."""
+    from s2d_tpu.models.swin import SwinTransformer
+
+    model = SwinTransformer(
+        embed_dim=8, depths=(1, 1), num_heads=(1, 2), window=4)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    wrapped = {"params": {"backbone": params["params"]}}
+    labels = label_params(wrapped, frozen_backbone_norms=False)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    by_path = {"/".join(str(getattr(p, "key", p)) for p in path): l
+               for path, l in flat}
+    assert not any(l == "frozen" for l in by_path.values())
+    norm_labels = {p: l for p, l in by_path.items()
+                   if "norm" in p and p.endswith(("scale", "bias"))}
+    assert norm_labels and all(
+        l == "backbone_nodecay" for l in norm_labels.values()), norm_labels
+    rpb = {p: l for p, l in by_path.items()
+           if "relative_position_bias_table" in p}
+    assert rpb and all(l == "backbone_nodecay" for l in rpb.values())

@@ -136,7 +136,12 @@ def main(argv=None):
         it = start
         prev_sample = None  # copy-paste source: the previous mapped image
         pending = None  # (iteration, device metrics) awaiting readback
-        while it < cfg.max_iter:
+        # SOLVER.IMS_PER_BATCH as accumulation: `it` counts single-image
+        # MICRO-steps; one optimizer step (= one reference iteration)
+        # every `accum` micro-steps, so MAX_ITER keeps its batch-N meaning
+        accum = max(cfg.accum_steps, 1)
+        total_micro = cfg.max_iter * accum
+        while it < total_micro:
             record = dicts[rng.randint(len(dicts))]
             s = map_image_record(record, cfg, rng, is_train=True)
             if s is None:
@@ -165,13 +170,17 @@ def main(argv=None):
             )
             # read metrics one step late so host-side mapping/copy-paste of
             # the next image overlaps the device step instead of waiting
-            # behind the blocking float()s
-            if pending is not None:
-                p_it, p_metrics = pending
-                logger.log(p_it, {k: float(v) for k, v in p_metrics.items()})
-            pending = (it, metrics)
+            # behind the blocking float()s; log one line per ITERATION
+            # (optimizer-step boundary), as the reference does
+            boundary = (it + 1) % accum == 0
+            opt_it = (it + 1) // accum
+            if boundary:
+                if pending is not None:
+                    p_it, p_metrics = pending
+                    logger.log(p_it, {k: float(v) for k, v in p_metrics.items()})
+                pending = (opt_it - 1, metrics)
             it += 1
-            if it % 5000 == 0 or it == cfg.max_iter:
+            if boundary and (opt_it % 5000 == 0 or opt_it == cfg.max_iter):
                 # flush so a crash after the save never leaves a resumable
                 # checkpoint ahead of metrics.json
                 p_it, p_metrics = pending
