@@ -1,13 +1,13 @@
 """Copy-paste augmentation for video clips.
 
 Rebuild of the reference's clip copy-paste (`/root/reference/
-model_training/mask2former_video/engine/train_loop.py:377-545`): instances
-from a source clip are rescaled/shifted and pasted into every frame of a
-destination clip (the same geometric transform across frames, preserving
-temporal coherence), with an overlap-rejection test (the reference rejects
-pastes whose IoY — intersection over the pasted mask area — with existing
-instances exceeds 0.5, lines 530-545). Pasted pixels overwrite the
-destination image; existing instance masks are carved accordingly.
+model_training/mask2former_video/engine/train_loop.py:377-565`): instances
+from a source clip are rescaled/shifted with ONE shared destination-scaled
+transform and pasted into every frame of a destination clip (preserving
+temporal coherence), with the reference's frame-0 IoY rejection
+(intersection over each EXISTING instance's area, all-or-nothing). Pasted
+pixels overwrite the destination image; existing instance masks are carved
+accordingly and dropped when carved to zero.
 
 Host-side numpy transform, applied by the train loader before collation
 when DATALOADER.COPY_PASTE is on.
@@ -20,37 +20,6 @@ import cv2
 import numpy as np
 
 
-def _rescale_and_shift(
-    rng: np.random.RandomState,
-    masks: np.ndarray,  # (T, H, W) one instance's track
-    images: np.ndarray,  # (T, H, W, 3) source frames
-    out_hw: Tuple[int, int],
-    min_ratio: float,
-    max_ratio: float,
-):
-    """One shared transform for the whole track: scale + random placement."""
-    t, h, w = masks.shape
-    oh, ow = out_hw
-    ratio = rng.uniform(min_ratio, max_ratio)
-    nh, nw = max(int(h * ratio), 1), max(int(w * ratio), 1)
-    dy = rng.randint(0, max(oh - nh, 0) + 1) - max((nh - oh) // 2, 0)
-    dx = rng.randint(0, max(ow - nw, 0) + 1) - max((nw - ow) // 2, 0)
-
-    out_masks = np.zeros((t, oh, ow), bool)
-    out_rgb = np.zeros((t, oh, ow, 3), np.float32)
-    for fi in range(t):
-        m = cv2.resize(
-            masks[fi].astype(np.uint8), (nw, nh), interpolation=cv2.INTER_NEAREST
-        ).astype(bool)
-        rgb = cv2.resize(images[fi], (nw, nh), interpolation=cv2.INTER_LINEAR)
-        ys, xs = np.nonzero(m)
-        ys2, xs2 = ys + dy, xs + dx
-        keep = (ys2 >= 0) & (ys2 < oh) & (xs2 >= 0) & (xs2 < ow)
-        out_masks[fi, ys2[keep], xs2[keep]] = True
-        out_rgb[fi, ys2[keep], xs2[keep]] = rgb[ys[keep], xs[keep]]
-    return out_masks, out_rgb
-
-
 def copy_paste_clip(
     rng: np.random.RandomState,
     dst: Dict[str, np.ndarray],  # mapper sample: image (T,H,W,3), masks (N,T,H,W), valid (N,)
@@ -61,43 +30,82 @@ def copy_paste_clip(
     reject_ioy: float = 0.5,
     random_num: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Paste src's instances into dst. Returns a new sample dict."""
+    """Paste src's instances into dst — reference semantics
+    (mask2former_video/engine/train_loop.py:377-565):
+
+      * ONE shared transform for all copied instances: the whole source
+        canvas resizes to ratio x the DESTINATION size and shifts to one
+        random in-bounds offset (lines 455-470);
+      * IoY test at frame 0 only: intersection / EXISTING instance's
+        area, ALL-OR-NOTHING — if any copied instance covers >= 0.5 of
+        any existing instance, the entire paste is aborted (lines
+        525-545: sum_keep < total appends the original images);
+      * existing instances carved by the pasted alpha are DROPPED when
+        their area reaches zero (line 561 `areas_unlabeled > 0`).
+
+    Fixed-slot layout: candidates are capped at the free annotation
+    slots before compositing so every pasted pixel gets a label."""
     if rng.rand() >= rate:
         return dst
     t, h, w, _ = dst["image"].shape
-    image = dst["image"].copy()
-    masks = dst["masks"].copy()
-    valid = dst["valid"].copy()
 
     src_ids = np.flatnonzero(src["valid"])
-    if random_num and len(src_ids):
+    if len(src_ids) == 0:
+        return dst
+    if random_num:
         k = rng.randint(1, len(src_ids) + 1)
         src_ids = rng.choice(src_ids, k, replace=False)
+    src_ids = src_ids[: int((~dst["valid"]).sum())]
+    if len(src_ids) == 0:
+        return dst
 
-    existing = masks[valid].any(axis=0) if valid.any() else np.zeros((t, h, w), bool)
     st = min(t, src["image"].shape[0])
-    for sid in src_ids:
-        free = np.flatnonzero(~valid)
-        if len(free) == 0:
-            break
-        pasted_masks, pasted_rgb = _rescale_and_shift(
-            rng, src["masks"][sid][:st], src["image"][:st], (h, w),
-            min_ratio, max_ratio,
+    ratio = rng.uniform(min_ratio, max_ratio)
+    nh, nw = max(int(ratio * h), 1), max(int(ratio * w), 1)
+    dy = rng.randint(0, max(h - nh, 0) + 1)
+    dx = rng.randint(0, max(w - nw, 0) + 1)
+
+    pasted = np.zeros((len(src_ids), t, h, w), bool)
+    pasted_rgb = np.zeros((t, h, w, 3), dst["image"].dtype)
+    for fi in range(st):
+        rgb = cv2.resize(
+            src["image"][fi], (nw, nh), interpolation=cv2.INTER_LINEAR
         )
-        if pasted_masks.sum() == 0:
-            continue
-        # IoY rejection: fraction of the pasted track covered by existing
-        inter = (pasted_masks[:st] & existing[:st]).sum()
-        if inter / max(pasted_masks.sum(), 1) > reject_ioy:
-            continue
-        pm = np.zeros((t, h, w), bool)
-        pm[:st] = pasted_masks
-        image[pm] = pasted_rgb[pasted_masks]
-        masks[:, pm] = False  # carve occluded pixels out of existing tracks
-        slot = free[0]
-        masks[slot] = pm
-        valid[slot] = True
-        existing |= pm
+        pasted_rgb[fi, dy : dy + nh, dx : dx + nw] = rgb[: h - dy, : w - dx]
+        for j, sid in enumerate(src_ids):
+            m = cv2.resize(
+                src["masks"][sid][fi].astype(np.uint8), (nw, nh),
+                interpolation=cv2.INTER_NEAREST,
+            ).astype(bool)
+            pasted[j, fi, dy : dy + nh, dx : dx + nw] = m[: h - dy, : w - dx]
+
+    nonzero = pasted.sum(axis=(1, 2, 3)) > 0
+    pasted = pasted[nonzero]
+    if pasted.shape[0] == 0:
+        return dst
+
+    existing = dst["masks"][dst["valid"]]
+    if existing.shape[0]:
+        inter = (
+            (pasted[:, None, 0] & existing[None, :, 0])
+            .sum(axis=(-1, -2))
+            .astype(np.float64)
+        )
+        area_y = np.maximum(
+            existing[:, 0].sum(axis=(-1, -2)).astype(np.float64), 1.0
+        )
+        if (inter / area_y).max() >= reject_ioy:
+            return dst
+
+    alpha = pasted.any(axis=0)  # (T, H, W)
+    image = np.where(alpha[..., None], pasted_rgb, dst["image"])
+    masks = dst["masks"].copy()
+    masks &= ~alpha[None]
+    valid = dst["valid"] & (masks.sum(axis=(1, 2, 3)) > 0)
+    free = np.flatnonzero(~valid)
+    for j in range(pasted.shape[0]):
+        masks[free[j]] = pasted[j]
+        valid[free[j]] = True
 
     out = dict(dst)
     out.update(image=image, masks=masks, valid=valid)

@@ -51,15 +51,16 @@ def collate_clips(
     std = np.asarray(pixel_std, np.float32)
     b = len(samples)
     n = samples[0]["masks"].shape[0]
+    has_distill = "distill_image" in samples[0]
+    if has_distill:
+        # fold the distill view into the canvas size BEFORE allocating —
+        # the image/mask buffers are the batch's largest arrays
+        max_h = max(max_h, _bucket(max(s["distill_image"].shape[1] for s in samples), bucket_multiple))
+        max_w = max(max_w, _bucket(max(s["distill_image"].shape[2] for s in samples), bucket_multiple))
     images = np.zeros((b, t, max_h, max_w, 3), np.float32)
     masks = np.zeros((b, n, t, max_h, max_w), bool)
     valid = np.zeros((b, n), bool)
-    has_distill = "distill_image" in samples[0]
     if has_distill:
-        max_h = max(max_h, _bucket(max(s["distill_image"].shape[1] for s in samples), bucket_multiple))
-        max_w = max(max_w, _bucket(max(s["distill_image"].shape[2] for s in samples), bucket_multiple))
-        images = np.zeros((b, t, max_h, max_w, 3), np.float32)
-        masks = np.zeros((b, n, t, max_h, max_w), bool)
         distill = np.zeros((b, t, max_h, max_w, 3), np.float32)
         affine = np.zeros((b, t, 3, 3), np.float32)
     for i, s in enumerate(samples):

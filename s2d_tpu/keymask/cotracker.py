@@ -87,9 +87,11 @@ class _AttnBlock(nn.Module):
     heads: int
 
     @nn.compact
-    def __call__(self, x):  # (B, S, D) self-attention + MLP
+    def __call__(self, x, mask=None):  # (B, S, D) self-attention + MLP
         y = nn.LayerNorm(name="norm1")(x)
-        y = nn.MultiHeadDotProductAttention(num_heads=self.heads, name="attn")(y)
+        y = nn.MultiHeadDotProductAttention(num_heads=self.heads, name="attn")(
+            y, mask=mask
+        )
         x = x + y
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(self.dim * 4, name="mlp1")(y)
@@ -105,16 +107,26 @@ class UpdateFormer(nn.Module):
     depth: int = 4  # pairs of (time, track) blocks
 
     @nn.compact
-    def __call__(self, tokens):  # (T, P, D)
+    def __call__(self, tokens, point_valid=None):  # (T, P, D)
         t, p, d = tokens.shape
         x = tokens
+        # keep PADDED bucket points out of the track attention: phantom
+        # tokens would otherwise perturb real tracks and make results
+        # depend on the padding amount (the reference runs CoTracker at
+        # the exact query count, no bucket)
+        space_mask = (
+            None if point_valid is None
+            else point_valid[None, None, None, :]  # -> (T, H, P_q, P_kv)
+        )
         for i in range(self.depth):
             # attention over time: sequences are per-track (P, T, D)
             xt = x.transpose(1, 0, 2)
             xt = _AttnBlock(self.dim, self.heads, name=f"time{i}")(xt)
             x = xt.transpose(1, 0, 2)
             # attention over tracks: sequences are per-frame (T, P, D)
-            x = _AttnBlock(self.dim, self.heads, name=f"space{i}")(x)
+            x = _AttnBlock(self.dim, self.heads, name=f"space{i}")(
+                x, mask=space_mask
+            )
         return x
 
 
@@ -180,10 +192,11 @@ class CoTrackerNet(nn.Module):
             f = nn.avg_pool(f, (2, 2), strides=(2, 2))
         return tuple(pyramid)
 
-    def refine(self, pyramid, queries, query_frame):
+    def refine(self, pyramid, queries, query_frame, point_valid=None):
         """pyramid from `encode`; queries (P, 2) xy pixels (stride-1 units
-        of the encoded resolution). Returns (tracks (T, P, 2) pixels,
-        visibility (T, P) in [0,1])."""
+        of the encoded resolution); `point_valid` (P,) masks padded bucket
+        points out of the track attention. Returns (tracks (T, P, 2)
+        pixels, visibility (T, P) in [0,1])."""
         t, h4, w4, c = pyramid[0].shape
         p = queries.shape[0]
         rows = [f.reshape(t, f.shape[1] * f.shape[2], c) for f in pyramid]
@@ -209,7 +222,7 @@ class CoTrackerNet(nn.Module):
             tokens = tokens + self.time_embed[
                 jnp.minimum(jnp.arange(t), self.time_embed.shape[0] - 1)
             ][:, None, :]
-            out = self.updateformer(tokens)
+            out = self.updateformer(tokens, point_valid)
             delta = self.delta_head(out)
             coords = coords + delta[..., :2]
             vis_logit = vis_logit + delta[..., 2]
@@ -218,10 +231,12 @@ class CoTrackerNet(nn.Module):
 
         return coords * 4.0, jax.nn.sigmoid(vis_logit)
 
-    def __call__(self, frames, queries, query_frame: int):
+    def __call__(self, frames, queries, query_frame: int, point_valid=None):
         """frames (T, H, W, 3) in [0,1]-ish; queries (P, 2) xy pixels.
         Returns (tracks (T, P, 2) pixels, visibility (T, P) in [0,1])."""
-        return self.refine(self.encode(frames), queries, query_frame)
+        return self.refine(
+            self.encode(frames), queries, query_frame, point_valid
+        )
 
 
 # ------------------------------------------------------- protocol wrapper
@@ -280,6 +295,7 @@ class CoTrackerTracker:
             self._pyramid_cache.get(video),
             jnp.asarray(q_scaled),
             jnp.asarray(query_frame, jnp.int32),
+            jnp.arange(len(q)) < p,
         )
         tracks = np.asarray(tracks)[:, :p] * np.asarray(
             [w / self.interp_w, h / self.interp_h], np.float32
@@ -318,10 +334,14 @@ class CoTrackerTracker:
             [w / self.interp_w, h / self.interp_h], np.float32
         )
         out = []
+        pv = np.zeros((b + bpad, bucket), bool)
+        for i, qi in enumerate(queries_list):
+            pv[i, : len(qi)] = True
         for s in range(0, b, chunk):
             tr, vi = _refine_net_vmapped(
                 self.net, self.params, pyramid,
                 jnp.asarray(q[s:s + chunk]), jnp.asarray(qf[s:s + chunk]),
+                jnp.asarray(pv[s:s + chunk]),
             )
             tr, vi = np.asarray(tr), np.asarray(vi)
             for i in range(min(chunk, b - s)):
@@ -343,20 +363,23 @@ def _encode_video(net, params, video, ih, iw):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _refine_net(net, params, pyramid, queries, query_frame):
+def _refine_net(net, params, pyramid, queries, query_frame, point_valid):
     # query_frame is TRACED (dynamic indexing inside the net): the discovery
     # pipeline seeds every frame of every video, and a static seed frame
     # would recompile the refinement per seed (minutes each, server-side)
-    return net.apply(params, pyramid, queries, query_frame, method="refine")
+    return net.apply(
+        params, pyramid, queries, query_frame, point_valid, method="refine"
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _refine_net_vmapped(net, params, pyramid, queries, query_frames):
+def _refine_net_vmapped(net, params, pyramid, queries, query_frames,
+                        point_valid):
     """(B, P, 2) query sets + (B,) seed frames over ONE shared pyramid."""
-    def one(q, f):
-        return net.apply(params, pyramid, q, f, method="refine")
+    def one(q, f, pv):
+        return net.apply(params, pyramid, q, f, pv, method="refine")
 
-    return jax.vmap(one)(queries, query_frames)
+    return jax.vmap(one)(queries, query_frames, point_valid)
 
 
 # ------------------------------------------------------- torch import

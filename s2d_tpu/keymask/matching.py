@@ -46,12 +46,11 @@ def point_mask_iou(
     xs = np.clip(points[vis, 0].round().astype(int), 0, w - 1)
     ys = np.clip(points[vis, 1].round().astype(int), 0, h - 1)
     inside = mask[ys, xs]
-    # symmetrize against mask size: |points in mask| / |points| weighted by
-    # how much of the mask the point cloud plausibly covers
-    frac_points_in = inside.mean()
-    covered_area = max(inside.sum(), 1)
-    frac_mask_covered = min(1.0, covered_area * 800.0 / max(mask.sum(), 1))
-    return float(frac_points_in * min(1.0, frac_mask_covered + 0.5))
+    # |visible points inside the mask| / |visible points| — the reference
+    # restricts `mask` to the rasterized pointmask before the IoU, so its
+    # intersection/union reduces to exactly this fraction
+    # (compute_point_mask_intersection, cotracker_matching.py:640-662)
+    return float(inside.mean())
 
 
 def match_candidate(
@@ -129,19 +128,36 @@ def match_matrix(
 
 
 def temporal_correspondence_clustering(
-    mat: np.ndarray, min_samples: int = 1
+    mat: np.ndarray, min_samples: int | None = None, eps: float | None = None
 ) -> np.ndarray:
-    """DBSCAN on the binary match matrix (hamming, adaptive eps — reference
-    lines 795-804 scale eps by matrix width). Returns labels (-1 = noise)."""
+    """DBSCAN on the binary match matrix (hamming). Reference parameter
+    table (cotracker_matching.py:795-804): width > 50 -> eps 0.05,
+    min_samples 5; width < 10 -> eps 0.1, min_samples 3; else eps 0.1,
+    min_samples 5. Rows with no matches are forced to noise (-1,
+    reference lines 813-815). Explicit `min_samples`/`eps` override the
+    table (tiny synthetic runs need min_samples below the reference's
+    real-data settings). Returns labels (-1 = noise)."""
     from sklearn.cluster import DBSCAN
 
     if len(mat) == 0:
         return np.zeros((0,), np.int64)
-    width = max(mat.shape[1], 1)
-    eps = max(1.0 / width, 0.05)
-    return DBSCAN(eps=eps, min_samples=min_samples, metric="hamming").fit(
+    width = mat.shape[1]
+    if width > 50:
+        _eps, _min = 0.05, 5
+    elif width < 10:
+        _eps, _min = 0.1, 3
+    else:
+        _eps, _min = 0.1, 5
+    if eps is not None:
+        _eps = eps
+    if min_samples is not None:
+        _min = min_samples
+    labels = DBSCAN(eps=_eps, min_samples=_min, metric="hamming").fit(
         mat.astype(np.float64)
     ).labels_
+    labels = np.asarray(labels)
+    labels[mat.sum(axis=1) == 0] = -1
+    return labels
 
 
 def group_quality(

@@ -361,6 +361,9 @@ def grid_points_in_mask(mask: np.ndarray, grid_size: int) -> np.ndarray:
     """Seed up to grid_size^2 points inside a binary mask — the reference
     seeds CoTracker with `grid_size=50` restricted by `segm_mask`
     (cotracker_occlusions.py:355). Returns (P, 2) xy pixel coords."""
+    # uint8 0/1 (or 0/255) masks would make `pts[keep]` integer fancy
+    # indexing instead of boolean selection — coerce first
+    mask = np.asarray(mask).astype(bool)
     h, w = mask.shape
     ys = np.linspace(0, h - 1, grid_size)
     xs = np.linspace(0, w - 1, grid_size)

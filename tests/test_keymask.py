@@ -92,11 +92,34 @@ def test_matching_and_grouping():
     ]
     assert matches[0], "candidate should match some pseudo-masks"
     mat = match_matrix(matches, list(range(5)))
-    labels = temporal_correspondence_clustering(mat)
+    # min_samples=1 override: 2 candidates < the reference's real-data
+    # min_samples table (3-5), which would mark this tiny set all-noise
+    labels = temporal_correspondence_clustering(mat, min_samples=1)
     groups = group_quality(mat, labels, frame_of_id=list(range(5)))
     assert groups
     assert groups[0]["coverage"] > 0.3
     assert groups[0]["one2x"] == 0
+
+
+def test_clustering_reference_params():
+    """Reference DBSCAN table (cotracker_matching.py:795-815): adaptive
+    eps/min_samples by matrix width, zero rows forced to noise."""
+    from s2d_tpu.keymask.matching import temporal_correspondence_clustering
+
+    # width < 10 -> min_samples 3: two identical rows alone are noise...
+    mat2 = np.zeros((2, 5), bool)
+    mat2[:, 0] = True
+    assert (temporal_correspondence_clustering(mat2) == -1).all()
+    # ...three identical rows cluster
+    mat3 = np.zeros((3, 5), bool)
+    mat3[:, 0] = True
+    labels = temporal_correspondence_clustering(mat3)
+    assert (labels == labels[0]).all() and labels[0] != -1
+    # all-zero rows are ALWAYS noise, even clustered together
+    zeros = np.zeros((6, 5), bool)
+    assert (temporal_correspondence_clustering(zeros) == -1).all()
+    # explicit override reaches below the table
+    assert (temporal_correspondence_clustering(mat2, min_samples=1) >= 0).all()
 
 
 def test_color_png_to_masks():

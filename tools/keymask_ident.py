@@ -39,6 +39,11 @@ def parse_args(argv=None):
                         help="visibility-window DBSCAN min_samples "
                              "(reference hardcodes 5)")
     parser.add_argument("--matching-threshold", type=float, default=0.5)
+    parser.add_argument("--matching-min-samples", type=int, default=None,
+                        help="override the temporal-clustering DBSCAN "
+                             "min_samples (default: the reference's "
+                             "width-adaptive 3-5 table; tiny synthetic "
+                             "runs may need 1)")
     parser.add_argument("--grid-size", type=int, default=50)
     parser.add_argument("--tracker", choices=("correlation", "cotracker"),
                         default="correlation",
@@ -153,13 +158,14 @@ def process_video(args, video_dir: str, out_json: str, inputs=None) -> None:
     for wrec in windows:
         for row in wrec["winners"]:
             rec = records[row]
-            seed_mask = masks_per_frame[rec["frame"]].get(
-                _overall_id_at(masks_per_frame, rec["frame"], rec["mask_id"])
-            )
+            # rec["mask_id"] IS the masks_per_frame key (visibility.py
+            # seeds iterate .items()); treating it as a 1-based ordinal
+            # here picked the wrong mask for 0-based or sparse key sets
+            seed_mask = masks_per_frame[rec["frame"]].get(rec["mask_id"])
             if seed_mask is None:
-                # mask ids are per-frame ordinal; fall back to ordinal lookup
+                # defensive ordinal fallback, bounds-guarded (export.py:34)
                 frame_masks = list(masks_per_frame[rec["frame"]].values())
-                if rec["mask_id"] - 1 < len(frame_masks):
+                if 0 <= rec["mask_id"] - 1 < len(frame_masks):
                     seed_mask = frame_masks[rec["mask_id"] - 1]
             if seed_mask is not None:
                 candidates.append((rec["frame"], seed_mask))
@@ -169,7 +175,9 @@ def process_video(args, video_dir: str, out_json: str, inputs=None) -> None:
         matching_threshold=args.matching_threshold,
     )
     mat = match_matrix(all_matches, overall_ids)
-    labels = temporal_correspondence_clustering(mat)
+    labels = temporal_correspondence_clustering(
+        mat, min_samples=args.matching_min_samples
+    )
     groups = group_quality(mat, labels, frame_of_id)
 
     # 4. per-group per-frame masks -> annotation JSON
@@ -191,12 +199,6 @@ def process_video(args, video_dir: str, out_json: str, inputs=None) -> None:
     os.makedirs(os.path.dirname(out_json), exist_ok=True)
     with open(out_json, "w") as f:
         json.dump(data, f)
-
-
-def _overall_id_at(masks_per_frame, frame, ordinal):
-    keys = sorted(masks_per_frame[frame].keys())
-    idx = ordinal - 1
-    return keys[idx] if 0 <= idx < len(keys) else None
 
 
 def main(argv=None):
