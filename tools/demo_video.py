@@ -89,7 +89,7 @@ def main(argv=None):
     on_tpu = jax.default_backend() == "tpu"
     model = build_model(
         cfg,
-        msda_impl="pallas" if on_tpu else None,
+        msda_impl="pallas_auto" if on_tpu else None,
         flash_cross_attention=on_tpu,
     )
     weights = args.weights or cfg.model.weights

@@ -119,8 +119,10 @@ def main(argv=None):
         # covers the long whole-video tail.
         model_short = None
         if jax.default_backend() == "tpu":
-            model = build_model(cfg, msda_impl="pallas", flash_cross_attention=True)
-            model_short = build_model(cfg, msda_impl="pallas")
+            model = build_model(
+                cfg, msda_impl="pallas_auto", flash_cross_attention=True
+            )
+            model_short = build_model(cfg, msda_impl="pallas_auto")
         eval_vars = student if cfg.model.mask_former.test.eval_student else teacher
         nshards, shard = jax.process_count(), jax.process_index()
         time_mesh = None
