@@ -92,15 +92,16 @@ def y_blend_weights(h: int, ly: int, phase_y: jnp.ndarray) -> jnp.ndarray:
 
 def _yblend(ref, q, wy_ref, l):
     """3-row window blend: ref is (R, H + 2, W), zero-padded on the row
-    axis, rows q..q+2 are source rows q-1..q+1. Weights stay (1, 1)
-    vectors — Mosaic has no scalar extraction from vector values."""
+    axis, rows q..q+2 are source rows q-1..q+1. Weights are f32 scalars
+    read from SMEM: a (1, 1) VMEM slice multiplied into (R, W) needs a
+    sublane+lane vector.broadcast, which Mosaic does not implement
+    ("Broadcast in both sublanes and lanes", first real-chip run
+    2026-08-19); scalar * vector is the supported form."""
     rows = ref[:, pl.ds(q, 3), :]
-    w = wy_ref[pl.ds(l, 1), :]  # (1, 3)
+    w0, w1, w2 = wy_ref[l, 0], wy_ref[l, 1], wy_ref[l, 2]
     return (
-        rows[:, 0, :] * w[:, 0:1]
-        + rows[:, 1, :] * w[:, 1:2]
-        + rows[:, 2, :] * w[:, 2:3]
-    ), w
+        rows[:, 0, :] * w0 + rows[:, 1, :] * w1 + rows[:, 2, :] * w2
+    ), (w0, w1, w2)
 
 
 def _xblend(strip, bx_ref, xw_ref, shift: bool, compute_dtype):
@@ -112,7 +113,7 @@ def _xblend(strip, bx_ref, xw_ref, shift: bool, compute_dtype):
             strip, bx_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(compute_dtype)
-    w = xw_ref[...]  # (1, 3)
+    w0, w1, w2 = xw_ref[0, 0], xw_ref[0, 1], xw_ref[0, 2]  # SMEM scalars
     lane = jax.lax.broadcasted_iota(jnp.int32, strip.shape, 1)
     lx = strip.shape[1]
     left = pltpu.roll(strip, 1, 1)  # left[j] = strip[j - 1]
@@ -120,9 +121,7 @@ def _xblend(strip, bx_ref, xw_ref, shift: bool, compute_dtype):
     # roll requires non-negative shifts; lx-1 == -1 (mod lx)
     right = pltpu.roll(strip, strip.shape[1] - 1, 1)  # right[j] = strip[j+1]
     right = jnp.where(lane == lx - 1, jnp.zeros_like(strip), right)
-    return (
-        left * w[:, 0:1] + strip * w[:, 1:2] + right * w[:, 2:3]
-    ).astype(compute_dtype)
+    return (left * w0 + strip * w1 + right * w2).astype(compute_dtype)
 
 
 def _xblend_t(dpv, bxt_ref, xw_ref, shift: bool):
@@ -132,14 +131,14 @@ def _xblend_t(dpv, bxt_ref, xw_ref, shift: bool):
             dpv, bxt_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    w = xw_ref[...]
+    w0, w1, w2 = xw_ref[0, 0], xw_ref[0, 1], xw_ref[0, 2]  # SMEM scalars
     lane = jax.lax.broadcasted_iota(jnp.int32, dpv.shape, 1)
     lx = dpv.shape[1]
     right = pltpu.roll(dpv, dpv.shape[1] - 1, 1)  # dpv[c + 1]
     right = jnp.where(lane == lx - 1, jnp.zeros_like(dpv), right)
     left = pltpu.roll(dpv, 1, 1)  # dpv[c - 1]
     left = jnp.where(lane == 0, jnp.zeros_like(dpv), left)
-    return right * w[:, 0:1] + dpv * w[:, 1:2] + left * w[:, 2:3]
+    return right * w0 + dpv * w1 + left * w2
 
 
 def _fwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
@@ -234,7 +233,7 @@ def _bwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
         # scatter the 3-row y-window back: rows q..q+2 of the padded block
         cur = dsrc_ref[:, pl.ds(qp, 3), :]
         upd = jnp.stack(
-            [dsp * wp[:, 0:1], dsp * wp[:, 1:2], dsp * wp[:, 2:3]], axis=1
+            [dsp * wp[0], dsp * wp[1], dsp * wp[2]], axis=1
         )  # (R, 3, Wp)
         dsrc_ref[:, pl.ds(qp, 3), :] = cur + upd.astype(jnp.float32)
 
@@ -278,10 +277,11 @@ def _prep(src, tgt, bern, thr, ly, lx, phase, compute_dtype):
     # W == Lx fast path: a 3-term lane-shift blend replaces the MXU
     # contraction (whose K = W is the dominant in-kernel matmul for the
     # identity-width target map). Weights = the m=1 y-blend row.
-    xwp = y_blend_weights(wp, wp, phase[1])[0:1].astype(compute_dtype) \
-        if wp == lx else jnp.zeros((1, 3), compute_dtype)
-    xwt = y_blend_weights(wt, wt, phase[1])[0:1].astype(compute_dtype) \
-        if wt == lx else jnp.zeros((1, 3), compute_dtype)
+    # f32: the x-shift weights are read as SMEM scalars in-kernel
+    xwp = y_blend_weights(wp, wp, phase[1])[0:1] \
+        if wp == lx else jnp.zeros((1, 3), jnp.float32)
+    xwt = y_blend_weights(wt, wt, phase[1])[0:1] \
+        if wt == lx else jnp.zeros((1, 3), jnp.float32)
     return (srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, xwp, xwt,
             wp == lx, wt == lx, r_pad)
 
@@ -330,12 +330,12 @@ def _fused_fwd_impl(src, tgt, bern, thr, phase, ly, lx, compute_dtype,
             pl.BlockSpec(tgtp.shape, lambda l: (0, 0, 0)),
             pl.BlockSpec((rps, r_pad, lx), lambda i: (i, 0, 0)),
             pl.BlockSpec((r_pad, 1), lambda i: (0, 0)),
-            pl.BlockSpec(wyp.shape, lambda i: (0, 0)),
-            pl.BlockSpec(wyt.shape, lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # wyp: scalar reads
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # wyt
             pl.BlockSpec(bxp.shape, lambda i: (0, 0)),
             pl.BlockSpec(bxt.shape, lambda i: (0, 0)),
-            pl.BlockSpec((1, 3), lambda i: (0, 0)),
-            pl.BlockSpec((1, 3), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # xwp
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # xwt
         ],
         out_specs=pl.BlockSpec((r_pad, 8), lambda i: (0, 0)),
         compiler_params=pltpu.CompilerParams(
@@ -386,13 +386,13 @@ def _fused_bwd(ly, lx, compute_dtype, interpret, residuals, g):
             pl.BlockSpec(tgtp.shape, lambda l: (0, 0, 0)),
             pl.BlockSpec((rps, r_pad, lx), lambda i: (i, 0, 0)),
             pl.BlockSpec((r_pad, 1), lambda i: (0, 0)),
-            pl.BlockSpec(wyp.shape, lambda i: (0, 0)),
-            pl.BlockSpec(wyt.shape, lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # wyp: scalar reads
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # wyt
             pl.BlockSpec(bxp.shape, lambda i: (0, 0)),
             pl.BlockSpec(bxt.shape, lambda i: (0, 0)),
             pl.BlockSpec((bxp.shape[1], bxp.shape[0]), lambda i: (0, 0)),
-            pl.BlockSpec((1, 3), lambda i: (0, 0)),
-            pl.BlockSpec((1, 3), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # xwp
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # xwt
             pl.BlockSpec(gm.shape, lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
