@@ -98,10 +98,12 @@ class MaskFormerConfig:
     train_num_points: int = 160000
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75
-    # criterion point-pool construction: "iid" (the reference's uniform
-    # draws, sampled by gathers) or "lattice" (random-phase jittered
-    # lattice, sampled by dense slice blends — see ops/lattice.py)
-    point_sampling: str = "iid"
+    # criterion point-pool construction: "lattice" (random-phase jittered
+    # lattice, sampled by dense slice blends — see ops/lattice.py; the
+    # production default: 22% faster full KD step, and 3-seed convergence
+    # A/B puts it within seed noise of iid — AB_CONVERGENCE.md) or "iid"
+    # (the reference's uniform draws, sampled by gathers)
+    point_sampling: str = "lattice"
     loss_strategy: str = "masks-only"  # temporal DropLoss on empty frames
     distillation_loss_strategy: str = "masks-only"
     # KD / distillation

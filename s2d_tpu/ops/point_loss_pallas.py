@@ -168,12 +168,17 @@ def _fwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
         sel = (unc >= thr).astype(compute_dtype)
         w = bern_ref[k] + sel  # (R, Lx)
 
+        # transcendentals run in f32: Mosaic rejects f32-constant
+        # broadcasts into bf16 vectors ("'vector.broadcast' op ...
+        # (f32) -> vector<...xbf16>", first real-chip run 2026-08-19);
+        # the bwd kernel already upcasts for logistic — mirror it here
+        pv32 = pv.astype(jnp.float32)
         ce = (
-            jnp.maximum(pv, 0.0)
-            - pv * tv
-            + jax.nn.softplus(-jnp.abs(pv))
-        )
-        probs = jax.nn.sigmoid(pv)
+            jnp.maximum(pv32, 0.0)
+            - pv32 * tv.astype(jnp.float32)
+            + jax.nn.softplus(-jnp.abs(pv32))
+        ).astype(compute_dtype)
+        probs = jax.lax.logistic(pv32).astype(compute_dtype)
 
         # (R, 8) output, one column per sum — keepdims reductions and
         # column writes stay 2D throughout (Mosaic dislikes 1D

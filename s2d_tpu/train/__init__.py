@@ -8,6 +8,7 @@ from .scaling import apply_accum_lr_scale, auto_scale_workers
 from .trainer import (
     TrainState,
     create_train_state,
+    distillation_nms,
     make_train_step,
     prepare_distillation_targets,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "warmup_multistep_lr",
     "TrainState",
     "create_train_state",
+    "distillation_nms",
     "make_train_step",
     "prepare_distillation_targets",
 ]

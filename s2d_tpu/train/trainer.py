@@ -79,6 +79,42 @@ def prepare_distillation_targets(
     return up > 0.0, valid
 
 
+def distillation_nms(
+    masks: jnp.ndarray,  # (B, Q, T, H, W) bool distillation targets
+    teacher_out: Dict[str, jnp.ndarray],
+    valid: jnp.ndarray,  # (B, Q) bool
+    nms_thresh: float,
+) -> jnp.ndarray:
+    """Greedy same-class mask-IoU NMS over the thresholded teacher targets
+    (reference `kd_video_maskformer_model.py:485-519`, ``nms=True``):
+    candidates are visited score-descending (the reference feeds its loop
+    in top-k order); a candidate is dropped when a still-kept earlier
+    candidate of the same class overlaps it with IoU > threshold. Runs
+    after the disentangle warp, matching the reference (its NMS sees
+    ``gt_masks_per_video`` post-``apply_transformation_frame_by_frame``).
+
+    Fixed-shape version: all Q queries participate; below-threshold
+    (invalid) candidates neither suppress nor survive. Returns the new
+    (B, Q) validity."""
+    from ..ops.nms import greedy_mask_nms, mask_iou_matrix
+
+    probs = jax.nn.softmax(
+        teacher_out["pred_logits"].astype(jnp.float32), axis=-1
+    )[..., :-1]
+    scores = probs.max(-1)
+    labels = probs.argmax(-1)
+
+    def per_video(m, s, l, v):
+        order = jnp.argsort(-s)
+        iou = mask_iou_matrix(m)[order][:, order]
+        v_sorted = v[order]
+        iou = iou * (v_sorted[:, None] & v_sorted[None, :])
+        keep_sorted = greedy_mask_nms(iou, l[order], nms_thresh) & v_sorted
+        return jnp.zeros_like(v).at[order].set(keep_sorted)
+
+    return jax.vmap(per_video)(masks, scores, labels, valid)
+
+
 def weighted_total(
     losses: Dict[str, jnp.ndarray],
     weights: LossWeights,
@@ -122,8 +158,9 @@ def make_train_step(
     mf = cfg.model.mask_former
     # prepare_distillation_targets keeps ALL queries above the score
     # threshold, which equals the reference's top-k + threshold
-    # (kd_video_maskformer_model.py:441-449) only when k == Q and no NMS
-    # runs between them — reject configs that silently wouldn't match.
+    # (kd_video_maskformer_model.py:441-449) only when k == Q — reject
+    # configs that silently wouldn't match. DISTILLATION_NMS (reference
+    # :485-519) is applied after the warp via distillation_nms().
     if cfg.model.meta_architecture == "KDVideoMaskFormer":
         if mf.num_predictions_distillation < mf.num_object_queries:
             raise NotImplementedError(
@@ -131,10 +168,6 @@ def make_train_step(
                 "k >= Q identity prepare_distillation_targets relies on "
                 f"does not hold ({mf.num_predictions_distillation} < "
                 f"{mf.num_object_queries})"
-            )
-        if mf.distillation_nms:
-            raise NotImplementedError(
-                "DISTILLATION_NMS is not implemented in the train step"
             )
     crit_cfg = CriterionConfig(
         num_classes=cfg.model.sem_seg_head.num_classes,
@@ -215,6 +248,14 @@ def make_train_step(
                 from ..ops.warp import warp_masks_affine
 
                 kd_masks = warp_masks_affine(kd_masks, distill_affine)
+            if mf.distillation_nms:
+                # MODEL.MASK_FORMER.DISTILLATION_NMS: greedy mask-IoU NMS
+                # on the (possibly warped) targets at TEST.NMS_THRESH —
+                # reference from_config:155 + :224-225
+                kd_valid = distillation_nms(
+                    kd_masks, teacher_out, kd_valid,
+                    cfg.model.mask_former.test.nms_thresh,
+                )
 
         def loss_fn(params):
             out = model.apply(

@@ -360,3 +360,47 @@ def test_label_params_swin_norms_train():
     rpb = {p: l for p, l in by_path.items()
            if "relative_position_bias_table" in p}
     assert rpb and all(l == "backbone_nodecay" for l in rpb.values())
+
+
+def test_kd_train_step_with_distillation_nms():
+    """MODEL.MASK_FORMER.DISTILLATION_NMS=True compiles and runs inside the
+    jitted KD step (reference kd_video_maskformer_model.py:485-519; the
+    NotImplementedError guard was removed in round 3). Semantics vs the
+    torch loop are pinned in test_distillation_nms.py; here: the step runs,
+    the loss is finite, and differs from the NMS-off step (NMS shrinks the
+    distillation target set)."""
+    cfg = _tiny_cfg()
+    object.__setattr__(cfg.model.mask_former, "distillation_nms", True)
+    # a loose threshold so suppression actually fires at random init
+    object.__setattr__(cfg.model.mask_former.test, "nms_thresh", 0.05)
+    object.__setattr__(
+        cfg.model.mask_former, "score_threshold_distillation", 0.0
+    )
+    model = _tiny_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    b, t, h, w, n = 1, 2, 32, 32, 3
+    images = jax.random.normal(rng, (b, t, h, w, 3))
+    params = model.init(rng, images)
+    tx = build_optimizer(cfg, params)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        teacher_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=tx.init(params),
+    )
+    masks = jax.random.uniform(jax.random.PRNGKey(1), (b, n, t, h, w)) > 0.7
+    valid = jnp.asarray([[True, True, False]])
+
+    step_fn = jax.jit(make_train_step(model, cfg, tx))
+    _, metrics = step_fn(state, images, masks, valid, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    cfg_off = _tiny_cfg()
+    object.__setattr__(
+        cfg_off.model.mask_former, "score_threshold_distillation", 0.0
+    )
+    step_off = jax.jit(make_train_step(_tiny_model(cfg_off), cfg_off, tx))
+    _, metrics_off = step_off(
+        state, images, masks, valid, jax.random.PRNGKey(2)
+    )
+    assert float(metrics["kd_loss_mask"]) != float(metrics_off["kd_loss_mask"])

@@ -28,8 +28,11 @@ def main():
     ap.add_argument("--hw", type=str, default="368x640")
     ap.add_argument("--n-targets", type=int, default=25)
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--msda-orient", default="y", choices=["y", "auto"],
-                    help="pallas axis orientation (auto = swapped layout)")
+    ap.add_argument("--msda-orient", default=None, choices=["y", "auto"],
+                    help="pallas axis orientation (auto = swapped layout). "
+                    "Requires --student-pallas or --teacher-pallas: without "
+                    "a pallas flag the model runs xla_gather and the orient "
+                    "flag would silently be a no-op (round-2 footgun)")
     ap.add_argument("--teacher-pallas", action="store_true",
                     help="pallas MSDA for the no-grad teacher forward")
     ap.add_argument("--student-pallas", action="store_true",
@@ -49,7 +52,19 @@ def main():
         help="amp = trainer default (fast matmul backward under AMP); "
         "highest = force exact-f32 criterion gather backward",
     )
+    ap.add_argument("--cli-defaults", action="store_true",
+                    help="build the model EXACTLY as tools/train_net_video.py "
+                    "does on this backend (overrides the pallas/orient/"
+                    "point-sampling flags) so the measured step is the "
+                    "production default, not a harness config")
     args = ap.parse_args()
+    if args.msda_orient is not None and not (
+        args.student_pallas or args.teacher_pallas or args.cli_defaults
+    ):
+        ap.error("--msda-orient has no effect without --student-pallas/"
+                 "--teacher-pallas (the model would run xla_gather)")
+    if args.msda_orient is None:
+        args.msda_orient = "y"
 
     from s2d_tpu.utils import jax_setup
 
@@ -93,12 +108,27 @@ def main():
             jnp.arange(cost.shape[2], dtype=jnp.int32), (cost.shape[0], 1)
         )
 
-    model = build_model(
-        cfg,
-        msda_impl=("pallas_auto" if args.msda_orient == "auto" else "pallas")
-        if args.student_pallas else "xla_gather",
-        grad_checkpoint=True,
-    )
+    if args.cli_defaults:
+        # mirror tools/train_net_video.py's training build on this backend
+        # (student_impl gate + teacher model), so the measured number is
+        # the production default path
+        from s2d_tpu.train.trainer_defaults import production_msda_impl
+
+        student_impl = production_msda_impl(cfg)
+        args.student_pallas = student_impl is not None
+        args.teacher_pallas = student_impl is not None
+        args.msda_orient = "auto" if student_impl == "pallas_auto" else "y"
+        print(f"cli-defaults: msda_impl={student_impl!r} "
+              f"point_sampling={cfg.model.mask_former.point_sampling}",
+              flush=True)
+        model = build_model(cfg, msda_impl=student_impl, grad_checkpoint=True)
+    else:
+        model = build_model(
+            cfg,
+            msda_impl=("pallas_auto" if args.msda_orient == "auto" else "pallas")
+            if args.student_pallas else "xla_gather",
+            grad_checkpoint=True,
+        )
     rng = jax.random.PRNGKey(0)
     bb = args.batch
     images = jnp.asarray(

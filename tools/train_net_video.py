@@ -77,12 +77,12 @@ def main(argv=None):
 
     # student MSDA on TPU under AMP: the pallas separable-MXU kernel with
     # its transposed-kernel custom VJP (AMP-class grads, ~15% faster full
-    # KD step); exact XLA path otherwise
-    student_impl = (
-        "pallas"
-        if jax.default_backend() == "tpu" and cfg.solver.amp.enabled
-        else None
-    )
+    # KD step); exact XLA path otherwise. Shared with
+    # bench_train_step.py --cli-defaults so the measured default path and
+    # the production path cannot diverge.
+    from s2d_tpu.train.trainer_defaults import production_msda_impl
+
+    student_impl = production_msda_impl(cfg)
     model = build_model(
         cfg,
         msda_impl=student_impl,
@@ -203,7 +203,7 @@ def main(argv=None):
     # the no-grad teacher forward uses the pallas kernel under the same
     # AMP gate (the reference's teacher also runs under autocast)
     teacher_model = (
-        build_model(cfg, msda_impl="pallas") if student_impl else None
+        build_model(cfg, msda_impl=student_impl) if student_impl else None
     )
     step_fn = jax.jit(make_train_step(model, cfg, tx, teacher_model=teacher_model))
 
