@@ -155,9 +155,18 @@ class CutlerRCNN(nn.Module):
     cfg: CutlerConfig = CutlerConfig()
 
     @nn.compact
-    def __call__(self, image: jnp.ndarray, proposals: jnp.ndarray | None = None):
+    def __call__(
+        self,
+        image: jnp.ndarray,
+        proposals: jnp.ndarray | None = None,
+        mask_boxes: jnp.ndarray | None = None,
+    ):
         """image (1, H, W, 3) normalized; proposals (R, 4) or None (then
-        RPN proposals are selected inside)."""
+        RPN proposals are selected inside). `mask_boxes` (K, 4) runs the
+        mask head on GIVEN boxes instead of the cascade's final boxes —
+        the TTA path re-predicts masks at the merged detections, as
+        detectron2's GeneralizedRCNNWithTTA does on its
+        _rescale_detected_boxes (reference cutler/train_net.py:102-105)."""
         feats = ResNet(depth=50, name="backbone")(image)
         fpn = FPN(name="fpn")({k: v for k, v in feats.items()})
         shapes = [tuple(fpn[n].shape[1:3]) for n in FPN_LEVELS]
@@ -189,7 +198,8 @@ class CutlerRCNN(nn.Module):
 
         mask_logits = None
         if self.cfg.mask_on:
-            roi = multilevel_roi_align(level_feats, boxes, output_size=14)
+            mb = boxes if mask_boxes is None else mask_boxes
+            roi = multilevel_roi_align(level_feats, mb, output_size=14)
             mask_logits = MaskHead(name="mask_head")(roi)
 
         return {

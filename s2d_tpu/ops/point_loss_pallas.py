@@ -90,18 +90,42 @@ def y_blend_weights(h: int, ly: int, phase_y: jnp.ndarray) -> jnp.ndarray:
 
 
 
+def _padded_rows(h: int) -> int:
+    """Row count of the zero-padded source block: 1 top border row + h
+    source rows + bottom zero rows such that every ALIGNED 16-row window
+    (see _yblend) fits. Window base = 8*(q//8), q <= h-1, so the block
+    needs 8*((h-1)//8) + 16 rows — always a multiple of 8 (clean sublane
+    tiles) and >= h + 2."""
+    return ((h - 1) // 8) * 8 + 16
+
+
 def _yblend(ref, q, wy_ref, l):
-    """3-row window blend: ref is (R, H + 2, W), zero-padded on the row
-    axis, rows q..q+2 are source rows q-1..q+1. Weights are f32 scalars
-    read from SMEM: a (1, 1) VMEM slice multiplied into (R, W) needs a
-    sublane+lane vector.broadcast, which Mosaic does not implement
-    ("Broadcast in both sublanes and lanes", first real-chip run
-    2026-08-19); scalar * vector is the supported form."""
-    rows = ref[:, pl.ds(q, 3), :]
+    """3-row window blend: ref is (R, rows, W), zero-padded on the row
+    axis, rows q..q+2 are source rows q-1..q+1.
+
+    Mosaic legality (first real-chip runs 2026-08-19): (a) weights are
+    f32 scalars read from SMEM — a (1, 1) VMEM slice multiplied into
+    (R, W) needs a sublane+lane vector.broadcast, which Mosaic does not
+    implement; (b) a dynamic second-minor-dim slice must have a provably
+    8-aligned offset ("cannot statically prove that index in dimension 1
+    is a multiple of 8") — so load an ALIGNED 16-row window at
+    8*(q//8) and select the 3 rows in-register with scalar weights that
+    vanish off the window position (exact zeros, so the sum is the same
+    3-term blend)."""
+    base = pl.multiple_of((q // 8) * 8, 8)
+    win = ref[:, pl.ds(base, 16), :]  # (R, 16, W), static size
+    r = q - base  # traced, in [0, 8)
     w0, w1, w2 = wy_ref[l, 0], wy_ref[l, 1], wy_ref[l, 2]
-    return (
-        rows[:, 0, :] * w0 + rows[:, 1, :] * w1 + rows[:, 2, :] * w2
-    ), (w0, w1, w2)
+    acc = None
+    for j in range(10):  # rows r..r+2 with r <= 7 live in [0, 10)
+        wj = (
+            jnp.where(r == j, w0, 0.0)
+            + jnp.where(r == j - 1, w1, 0.0)
+            + jnp.where(r == j - 2, w2, 0.0)
+        )
+        term = win[:, j, :] * wj
+        acc = term if acc is None else acc + term
+    return acc, (w0, w1, w2)
 
 
 def _xblend(strip, bx_ref, xw_ref, shift: bool, compute_dtype):
@@ -235,12 +259,27 @@ def _bwd_kernel(src_ref, tgt_ref, bern_ref, thr_ref, wyp_ref, wyt_ref,
 
         dsp = _xblend_t(dpv, bxpt_ref, xwp_ref, shift_p)  # (R, Wp)
 
-        # scatter the 3-row y-window back: rows q..q+2 of the padded block
-        cur = dsrc_ref[:, pl.ds(qp, 3), :]
-        upd = jnp.stack(
-            [dsp * wp[0], dsp * wp[1], dsp * wp[2]], axis=1
-        )  # (R, 3, Wp)
-        dsrc_ref[:, pl.ds(qp, 3), :] = cur + upd.astype(jnp.float32)
+        # scatter the 3-row y-window back. Same Mosaic alignment rule as
+        # _yblend: read-modify-write an ALIGNED 16-row window, with the
+        # 3 real contributions placed by scalar weights that are exact
+        # zeros elsewhere.
+        base = pl.multiple_of((qp // 8) * 8, 8)
+        r = qp - base
+        cur = dsrc_ref[:, pl.ds(base, 16), :]  # (R, 16, Wp) f32
+        dsp32 = dsp.astype(jnp.float32)
+        rows = []
+        for j in range(16):
+            if j < 10:  # rows r..r+2 with r <= 7 live in [0, 10)
+                wj = (
+                    jnp.where(r == j, wp[0], 0.0)
+                    + jnp.where(r == j - 1, wp[1], 0.0)
+                    + jnp.where(r == j - 2, wp[2], 0.0)
+                )
+                rows.append(dsp32 * wj)
+            else:
+                rows.append(jnp.zeros_like(dsp32))
+        upd = jnp.stack(rows, axis=1)  # (R, 16, Wp)
+        dsrc_ref[:, pl.ds(base, 16), :] = cur + upd
 
 
 def _prep(src, tgt, bern, thr, ly, lx, phase, compute_dtype):
@@ -253,10 +292,12 @@ def _prep(src, tgt, bern, thr, ly, lx, phase, compute_dtype):
     pad_r = r_pad - r
 
     def pad_rows(x):
-        # zero row padding top/bottom (exact zeros-outside bilinear
-        # border), zero row-padding for the R axis
+        # zero row padding: 1 top border row + enough bottom rows that
+        # every aligned 16-row _yblend window fits (exact zeros-outside
+        # bilinear border either way), zero row-padding for the R axis
+        bottom = _padded_rows(x.shape[1]) - x.shape[1] - 1
         return jnp.pad(
-            x.astype(compute_dtype), ((0, pad_r), (1, 1), (0, 0))
+            x.astype(compute_dtype), ((0, pad_r), (1, bottom), (0, 0))
         )
 
     srcp = pad_rows(src)
@@ -383,7 +424,7 @@ def _fused_bwd(ly, lx, compute_dtype, interpret, residuals, g):
             compute_dtype=compute_dtype,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (r_pad, src.shape[1] + 2, src.shape[2]), jnp.float32
+            (r_pad, _padded_rows(src.shape[1]), src.shape[2]), jnp.float32
         ),
         grid=(ly // rps,),
         in_specs=[
@@ -401,7 +442,8 @@ def _fused_bwd(ly, lx, compute_dtype, interpret, residuals, g):
             pl.BlockSpec(gm.shape, lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (r_pad, src.shape[1] + 2, src.shape[2]), lambda i: (0, 0, 0)
+            (r_pad, _padded_rows(src.shape[1]), src.shape[2]),
+            lambda i: (0, 0, 0)
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -409,7 +451,7 @@ def _fused_bwd(ly, lx, compute_dtype, interpret, residuals, g):
         ),
         interpret=interpret,
     )(srcp, tgtp, bernp, thrp, wyp, wyt, bxp, bxt, bxp.T, xwp, xwt, gm)
-    d_src = dsrc[:r, 1:-1, :].astype(src.dtype)
+    d_src = dsrc[:r, 1 : 1 + src.shape[1], :].astype(src.dtype)
     zeros = lambda x: jnp.zeros_like(x)
     return d_src, zeros(tgt), zeros(bern), zeros(thr), zeros(phase)
 

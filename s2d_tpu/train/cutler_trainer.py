@@ -76,6 +76,14 @@ class CutlerTrainerConfig:
     nms_thresh: float = 0.5
     detections_per_image: int = 100
     no_segm: bool = False
+    # TEST.AUG: end-of-eval multi-scale + hflip TTA (reference
+    # cutler/train_net.py:100-113 GeneralizedRCNNWithTTA; d2 defaults)
+    test_aug_enabled: bool = False
+    test_aug_min_sizes: Tuple[int, ...] = (
+        400, 500, 600, 700, 800, 900, 1000, 1100, 1200,
+    )
+    test_aug_max_size: int = 4000
+    test_aug_flip: bool = True
 
 
 def load_cutler_yaml(path: str) -> Tuple[dict, dict, dict]:
@@ -155,6 +163,15 @@ def load_cutler_yaml(path: str) -> Tuple[dict, dict, dict]:
     put(fields, "nms_thresh", roi.get("NMS_THRESH_TEST"))
     put(fields, "detections_per_image", test.get("DETECTIONS_PER_IMAGE"))
     put(fields, "no_segm", test.get("NO_SEGM"))
+    aug = test.get("AUG", {})
+    put(fields, "test_aug_enabled", aug.get("ENABLED"))
+    if aug.get("MIN_SIZES") is not None:
+        sizes = aug["MIN_SIZES"]
+        if isinstance(sizes, str):
+            sizes = ast.literal_eval(sizes)
+        fields["test_aug_min_sizes"] = tuple(int(x) for x in sizes)
+    put(fields, "test_aug_max_size", aug.get("MAX_SIZE"))
+    put(fields, "test_aug_flip", aug.get("FLIP"))
 
     put(rcnn, "num_classes", roi.get("NUM_CLASSES"))
     # Reference semantics (cutler/config/cutler_config.py:13-14): DropLoss

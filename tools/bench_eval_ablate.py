@@ -53,6 +53,16 @@ def main():
     )
     tcfg = cfg.model.mask_former.test
 
+    # production eval path: the pallas separable-MXU MSDA kernel with
+    # auto orientation (bench.py's default on TPU); S2D_MSDA_IMPL
+    # overrides for A/B, S2D_MSDA_IMPL=xla measures the oracle path
+    msda = os.environ.get("S2D_MSDA_IMPL") or (
+        "pallas_auto" if jax.default_backend() == "tpu" else None
+    )
+    if msda == "xla":
+        msda = None
+    print(f"msda_impl: {msda}", flush=True)
+
     def build(enc_layers=None):
         c = cfg
         if enc_layers is not None:
@@ -66,7 +76,7 @@ def main():
                     ),
                 ),
             )
-        model = build_model(c)
+        model = build_model(c, msda_impl=msda)
         variables = jax.jit(model.init)(rng, images[:, :1])
         return model, variables
 

@@ -1,10 +1,10 @@
 #!/bin/bash
-# Round-2 on-chip measurement queue (rebuilt after /tmp wipe).
+# Round-3 on-chip measurement queue.
 # Runs each queued measurement sequentially (NEVER two TPU processes at
-# once), appending results to MEASUREMENTS_r2_auto.log in the repo so the
+# once), appending results to MEASUREMENTS_r3_auto.log in the repo so the
 # round driver's end-of-round commit captures them.
 cd /root/repo
-LOG=/root/repo/MEASUREMENTS_r2_auto.log
+LOG=/root/repo/MEASUREMENTS_r3_auto.log
 run() {
   local tag="$1"; shift
   local to="$1"; shift
@@ -14,25 +14,20 @@ run() {
 }
 
 echo "###### queue start $(date -u) ######" >> "$LOG"
-# [0c] gate: packed mask readback (bench production path)
-run 0c-packbits 900 python tools/check_packbits_onchip.py
-# [H] headline bench, default kernel (orientation y)
-run H-bench-default 3000 python bench.py
-# [0b] MSDA microbench: orientation A/B
-run 0b-msda-y 900 python tools/bench_msda_micro.py --pallas --orient y
-run 0b-msda-auto 900 python tools/bench_msda_micro.py --pallas --orient auto
-# [H2] headline bench with swapped-orientation kernel
-run H-bench-auto 3000 env S2D_MSDA_IMPL=pallas_auto python bench.py
-# [0] gate: fused point-loss Mosaic parity (flip default on pass)
-run 0-pointloss-gate 1800 python tools/check_point_loss_onchip.py
-# q_tile sweep on the winning orientation
-run qtile-1024 1200 env S2D_MSDA_QTILE=1024 python bench.py
-# transport microbench
-run transport 1200 python tools/bench_transport.py
-# train step with auto orientation
-run train-auto 2400 python tools/bench_train_step.py --msda-orient auto
-# fused point-loss bench (standalone)
+# [1] fused point-loss: on-chip Mosaic gate after the f32-epilogue fix
+run pointloss-gate 1800 python tools/check_point_loss_onchip.py
+# [2] fused point-loss standalone numbers (bf16 + f32)
 run pointloss-bench 1200 python tools/bench_point_loss.py
-# keymask discovery batching
-run keymask 1800 python tools/bench_keymask.py
+# [3] eval composition at the production kernel (pallas_auto)
+run eval-ablate 1800 python tools/bench_eval_ablate.py
+# [4] train step: production CLI defaults (pallas_auto + lattice)
+run train-cli-defaults 3000 python tools/bench_train_step.py --cli-defaults
+# [5] train step: orient y with the same flags (the A/B VERDICT asked for)
+run train-pallas-y 3000 python tools/bench_train_step.py \
+  --student-pallas --teacher-pallas --point-sampling lattice --msda-orient y
+# [6] transport attribution (packed-upload anomaly)
+run transport-attrib 1800 python tools/bench_transport_attrib.py
+# [H] headline bench at defaults (ADVICE r2: pin the non-default leg
+# explicitly; pallas_auto IS the default now)
+run H-bench 3000 python bench.py
 echo "###### queue done $(date -u) ######" >> "$LOG"

@@ -31,6 +31,11 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-segm", action="store_true",
                    help="skip mask head training/eval (reference TEST.NO_SEGM)")
+    p.add_argument("--tta", action="store_true",
+                   help="multi-scale + hflip TTA eval pass (reference "
+                        "TEST.AUG.ENABLED -> GeneralizedRCNNWithTTA)")
+    p.add_argument("--tta-min-sizes", nargs="*", type=int, default=None,
+                   help="override TEST.AUG.MIN_SIZES")
     p.add_argument("--copy-paste", action="store_true",
                    help="image copy-paste augmentation (DATALOADER.COPY_PASTE)")
     p.add_argument("--copy-paste-rate", type=float, default=None)
@@ -91,6 +96,10 @@ def main(argv=None):
     over["rcnn"] = CutlerConfig(**rcnn_over)
     if args.no_segm:
         over["no_segm"] = True
+    if args.tta:
+        over["test_aug_enabled"] = True
+    if args.tta_min_sizes:
+        over["test_aug_min_sizes"] = tuple(args.tta_min_sizes)
     if args.copy_paste:
         over["copy_paste"] = True
     if args.copy_paste_rate is not None:
@@ -296,6 +305,86 @@ def main(argv=None):
     print(f"[{test_dataset}] " + "  ".join(
         f"{k}: {v:.4f}" for k, v in metrics.items()
     ))
+
+    if cfg.test_aug_enabled:
+        # end-of-eval TTA pass (reference cutler/train_net.py:100-113:
+        # GeneralizedRCNNWithTTA when TEST.AUG.ENABLED; results suffixed
+        # _TTA). Reuses the ground truth collected above.
+        from s2d_tpu.data.mapper import load_image_robust
+        from s2d_tpu.evaluation.tta_rcnn import tta_inference
+
+        @jax.jit
+        def infer_boxes(params, image):
+            out = model.apply(params, image)
+            return cascade_detections(
+                out, cfg.rcnn.num_classes, cfg.score_thresh,
+                cfg.nms_thresh, cfg.detections_per_image, with_masks=False,
+            )
+
+        infer_masks = None
+        if do_segm:
+            @jax.jit
+            def infer_masks(params, image, boxes):
+                out = model.apply(params, image, mask_boxes=boxes)
+                return jax.nn.sigmoid(out["mask_logits"])
+
+        tta_preds, tta_pred_masks = [], []
+        for record in dicts:
+            try:
+                img = load_image_robust(record["file_name"]).astype(np.float32)
+            except Exception:
+                continue
+            res = tta_inference(
+                params, img,
+                infer_boxes=infer_boxes, infer_masks=infer_masks,
+                min_sizes=cfg.test_aug_min_sizes,
+                max_size=cfg.test_aug_max_size,
+                flip=cfg.test_aug_flip,
+                pixel_mean=cfg.pixel_mean, pixel_std=cfg.pixel_std,
+                nms_thresh=cfg.nms_thresh, topk=cfg.detections_per_image,
+            )
+            boxes, scores, classes, valid = (np.asarray(x) for x in res[:4])
+            masks_k = None
+            if do_segm:
+                masks_k = paste_masks(
+                    np.asarray(res[4]), boxes,
+                    (record["height"], record["width"]),
+                )
+            for di, (b, sc, cl, v) in enumerate(
+                zip(boxes, scores, classes, valid)
+            ):
+                if not v:
+                    continue
+                entry = {
+                    "image_id": record["image_id"],
+                    "category_id": int(cl),
+                    "bbox": [float(x) for x in b],
+                    "score": float(sc),
+                }
+                tta_preds.append(entry)
+                if do_segm:
+                    tta_pred_masks.append({
+                        **{k: entry[k]
+                           for k in ("image_id", "category_id", "score")},
+                        "segmentation": rle_codec.encode(masks_k[di]),
+                    })
+        tta_metrics = {
+            f"bbox_TTA/{k}": v
+            for k, v in evaluate_detections_boxes(
+                gts, tta_preds, use_cats=num_classes > 1
+            ).items()
+        }
+        if do_segm:
+            tta_metrics.update({
+                f"segm_TTA/{k}": v
+                for k, v in evaluate_detections_masks(
+                    gt_masks, tta_pred_masks, use_cats=num_classes > 1
+                ).items()
+            })
+        print(f"[{test_dataset}] " + "  ".join(
+            f"{k}: {v:.4f}" for k, v in tta_metrics.items()
+        ))
+        metrics.update(tta_metrics)
     return 0
 
 
