@@ -130,29 +130,64 @@ class UpdateFormer(nn.Module):
         return x
 
 
-def _corr_features(fmaps_rows, coords, level_shapes, track_feat, radius=3):
-    """Correlation of each track's template feature with a (2r+1)^2
-    neighborhood around its current estimate, per pyramid level.
+def _corr_maps(pyramid, track_feat):
+    """Per level, the FULL correlation map of every track's template
+    against every position: (T, h, w, P) = fmap . track_feat / sqrt(C).
 
-    fmaps_rows: list per level of (T, h*w, C); coords (T, P, 2) in stride-4
-    units; track_feat (P, C). Returns (T, P, L*(2r+1)^2)."""
+    Computed once per refine call — the templates are constant across the
+    update iterations, so the per-iteration work reduces to window
+    extraction (below). One MXU matmul per level replaces the round-2
+    path's per-iteration bilinear feature gathers, whose (P*K, h*w)
+    one-hot interpolation matrices dominated the 1.9 s/call time."""
+    maps = []
+    for f in pyramid:
+        c = f.shape[-1]
+        maps.append(
+            jnp.einsum("thwc,pc->thwp", f, track_feat)
+            / jnp.sqrt(jnp.asarray(c, f.dtype))
+        )
+    return maps
+
+
+def _corr_features(corr_maps, coords, radius=3):
+    """Correlation of each track's template with a (2r+1)^2 neighborhood
+    around its current estimate, per pyramid level.
+
+    TPU-native window formulation (the keymask/tracker.py pattern):
+    per (frame, point), extract one integer-anchored (2r+2)^2 window from
+    that point's correlation map with two separable one-hot contractions,
+    then realize the shared sub-pixel shift as a 2x2 slice blend —
+    identical bilinear zeros-outside semantics (OOB one-hot rows are 0),
+    no (P*K, h*w) gather matrices.
+
+    corr_maps: list per level of (T, h, w, P) from _corr_maps; coords
+    (T, P, 2) in stride-4 units. Returns (T, P, L*(2r+1)^2)."""
     t, p, _ = coords.shape
-    offs = jnp.arange(-radius, radius + 1, dtype=coords.dtype)
-    dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
-    delta = jnp.stack([dx.reshape(-1), dy.reshape(-1)], -1)  # (K, 2)
-    k = delta.shape[0]
+    size = 2 * radius + 2  # integer corners span [-r, r+1]
+    offs = jnp.arange(size, dtype=jnp.int32) - radius
+    k1 = 2 * radius + 1
     feats = []
-    for li, (h, w) in enumerate(level_shapes):
-        scale = 2.0 ** li
-        pts = coords[:, :, None, :] / scale + delta[None, None]  # (T,P,K,2)
-        # to [-1, 1] (align_corners=False pixel centers)
-        norm = jnp.stack([(pts[..., 0] + 0.5) / w, (pts[..., 1] + 0.5) / h],
-                         -1) * 2.0 - 1.0
-        sampled = grid_sample_rows(
-            fmaps_rows[li], norm.reshape(t, p * k, 2), h, w
-        ).reshape(t, p, k, -1)
-        corr = jnp.einsum("tpkc,pc->tpk", sampled, track_feat)
-        feats.append(corr / jnp.sqrt(sampled.shape[-1]).astype(corr.dtype))
+    for li, cm in enumerate(corr_maps):
+        _, h, w, _ = cm.shape
+        pts = coords / (2.0 ** li)
+        base = jnp.floor(pts)
+        frac = (pts - base).astype(cm.dtype)
+        base = base.astype(jnp.int32)
+        rows_idx = base[..., 1][..., None] + offs  # (T, P, size)
+        cols_idx = base[..., 0][..., None] + offs
+        row_sel = jax.nn.one_hot(rows_idx, h, dtype=cm.dtype)
+        col_sel = jax.nn.one_hot(cols_idx, w, dtype=cm.dtype)
+        rows = jnp.einsum("tpsh,thwp->tpsw", row_sel, cm)  # (T, P, size, w)
+        win = jnp.einsum("tpsw,tpuw->tpsu", rows, col_sel)  # (T, P, s, s)
+        fy = frac[..., 1][..., None, None]
+        fx = frac[..., 0][..., None, None]
+        blend = (
+            win[:, :, :k1, :k1] * (1.0 - fy) * (1.0 - fx)
+            + win[:, :, :k1, 1:] * (1.0 - fy) * fx
+            + win[:, :, 1:, :k1] * fy * (1.0 - fx)
+            + win[:, :, 1:, 1:] * fy * fx
+        )  # (T, P, 2r+1, 2r+1); [ky, kx] = offset (ky - r, kx - r)
+        feats.append(blend.reshape(t, p, k1 * k1))
     return jnp.concatenate(feats, axis=-1)
 
 
@@ -199,22 +234,24 @@ class CoTrackerNet(nn.Module):
         pixels, visibility (T, P) in [0,1])."""
         t, h4, w4, c = pyramid[0].shape
         p = queries.shape[0]
-        rows = [f.reshape(t, f.shape[1] * f.shape[2], c) for f in pyramid]
-        shapes = [(f.shape[1], f.shape[2]) for f in pyramid]
 
         q4 = queries / 4.0
         qnorm = jnp.stack([(q4[:, 0] + 0.5) / w4, (q4[:, 1] + 0.5) / h4],
                           -1) * 2.0 - 1.0
         track_feat = grid_sample_rows(
-            rows[0][query_frame][None], qnorm[None], h4, w4
+            pyramid[0][query_frame].reshape(1, h4 * w4, c), qnorm[None],
+            h4, w4,
         )[0]  # (P, C)
+
+        # template correlation against every position, once per call —
+        # the update iterations only re-extract windows from these maps
+        corr_maps = _corr_maps(pyramid, track_feat)
 
         coords = jnp.broadcast_to(q4[None], (t, p, 2))
         vis_logit = jnp.zeros((t, p), pyramid[0].dtype)
 
         for _ in range(self.iters):
-            corr = _corr_features(rows, coords, shapes, track_feat,
-                                  self.radius)
+            corr = _corr_features(corr_maps, coords, self.radius)
             rel = coords - coords[query_frame][None]
             tokens = self.input_proj(jnp.concatenate(
                 [corr, rel / 16.0, vis_logit[..., None]], axis=-1
