@@ -95,22 +95,28 @@ def interpolate_bilinear(
     *lead, h, w = x.shape
     if (h, w) == (out_h, out_w):
         return x
-    if out_h % h == 0 and out_w % w == 0 and out_h >= h and out_w >= w:
-        flat = x.reshape(-1, h, w)
-        if out_h > h:
-            flat = _upsample_int_axis(flat, out_h // h, axis=1)
-        if out_w > w:
-            flat = _upsample_int_axis(flat, out_w // w, axis=2)
-        return flat.reshape(*lead, out_h, out_w)
-    mat_h = jnp.asarray(_interp_matrix(h, out_h), dtype=x.dtype)
-    mat_w = jnp.asarray(_interp_matrix(w, out_w), dtype=x.dtype)
     flat = x.reshape(-1, h, w)
     hp = (
         jax.lax.Precision.HIGHEST
         if precision == "highest"
         else jax.lax.Precision.DEFAULT
     )
-    # (B, H, W) -> (B, H', W): contract H with mat_h, then W with mat_w.
-    out = jnp.einsum("oh,bhw->bow", mat_h, flat, precision=hp)
-    out = jnp.einsum("ow,bhw->bho", mat_w, out, precision=hp)
-    return out.reshape(*lead, out_h, out_w)
+    # W first (at the un-upsampled H — fewer matmul FLOPs when H grows)
+    if w != out_w:
+        # NOTE: the W axis stays on the matmul even for integer factors —
+        # a phase-blend there interleaves LANES of the (often ~GB) output,
+        # a relayout XLA executes as a full cross-lane shuffle (measured
+        # on-chip: 121.9 -> 95.8 f/s end-to-end eval). The H axis is the
+        # profitable one: its phase stack reshapes contiguously.
+        mat_w = jnp.asarray(_interp_matrix(w, out_w), dtype=x.dtype)
+        flat = jnp.einsum("ow,bhw->bho", mat_w, flat, precision=hp)
+    if h != out_h:
+        if out_h % h == 0 and out_h > h:
+            # integer H-upsample: phase-wise 2-tap slice blends (identical
+            # two-tap math, no dense (out, in) matmul; the (B, H, m, W) ->
+            # (B, H*m, W) reshape is contiguous)
+            flat = _upsample_int_axis(flat, out_h // h, axis=1)
+        else:
+            mat_h = jnp.asarray(_interp_matrix(h, out_h), dtype=x.dtype)
+            flat = jnp.einsum("oh,bhw->bow", mat_h, flat, precision=hp)
+    return flat.reshape(*lead, out_h, out_w)
