@@ -72,18 +72,12 @@ class CriterionConfig:
     #   iid point positions. Realized point counts are the nearest valid
     #   lattice (e.g. 117,760 for a nominal 160,000 at s2d shapes).
     point_sampling: str = "iid"
-    # "auto"/"on"/"off": fuse the lattice blends with the ce/dice/selection
-    # reductions into one pallas kernel (ops/point_loss_pallas.py) so the
-    # (R, S) pools never exist in HBM. auto = on TPU, lattice mode, when
-    # both maps are integer y-upsamples of the lattice. The uncertainty
-    # threshold then comes from a coarse SUB-LATTICE (column-striding a
-    # lattice is a smaller lattice with scaled phase) instead of the
-    # strided-flat subsample — a different unbiased estimate of the same
-    # quantile. Default "off" until the Mosaic lowering has an on-chip
-    # (non-interpret) parity run — interpret mode previously missed an i1
-    # lowering bug, so "auto" must not gate an unvalidated kernel into
-    # every TPU training run.
-    fused_point_loss: str = "off"
+    # NOTE (round 3): a fused pallas point-loss kernel (blends + selection
+    # + ce/dice sums in one pass, no (R, S) pools in HBM) was built,
+    # made Mosaic-legal, and MEASURED on chip: 6.58/12.13 ms fwd/fwd+bwd
+    # per layer pass vs 5.80/10.90 for this unfused lattice chain — it
+    # LOSES, so it was removed per the no-dead-code standard (VERDICT r2
+    # #2; numbers in PERFORMANCE.md "round-3 fused point-loss verdict").
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -188,80 +182,6 @@ def _uncertainty_threshold(
     return lo
 
 
-def _fused_point_loss_active(
-    cfg: CriterionConfig, lattice, hp: int, ht: int
-) -> bool:
-    """Static gate for the fused pallas point loss: lattice mode, both
-    maps integer y-upsamples of the lattice, and (in auto mode) a TPU
-    backend."""
-    if lattice is None:
-        return False
-    if lattice[0] % hp != 0 or lattice[0] % ht != 0:
-        return False
-    mode = cfg.fused_point_loss
-    return mode == "on" or (
-        mode == "auto" and jax.default_backend() == "tpu"
-    )
-
-
-def _loss_masks_fused(
-    rows_src: jnp.ndarray,  # (R, Hp, Wp) matched prediction logit rows
-    rows_tgt: jnp.ndarray,  # (R, Ht, Wt) raw target rows
-    phase: jnp.ndarray,  # (2,) lattice phase
-    bern_wts: jnp.ndarray,  # (R, S) 0/1 shared random-point weights
-    keep: jnp.ndarray,  # (R,) row weights
-    num_masks: jnp.ndarray,
-    cfg: CriterionConfig,
-    lattice: Tuple[int, int],
-    num_uncertain: int,
-    wd: jnp.dtype,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused-kernel point loss: blends + selection + ce/dice sums in one
-    pallas pass (ops/point_loss_pallas.py); the (R, S) pools never exist.
-    The uncertainty threshold bisects a coarse SUB-LATTICE of the pool
-    (column-striding a lattice is a smaller lattice with scaled phase)."""
-    from ..ops.lattice import lattice_sample, valid_axis_counts
-    from ..ops.point_loss_pallas import fused_point_sums
-
-    ly, lx = lattice
-    s = ly * lx
-    r = rows_src.shape[0]
-    interpret = jax.default_backend() != "tpu"
-
-    if num_uncertain > 0:
-        target_cols = max(1, (32768 * lx) // s)
-        cands = [
-            c
-            for c in valid_axis_counts(
-                [rows_src.shape[2], rows_tgt.shape[2]]
-            )
-            if lx % c == 0
-        ]
-        below = [c for c in cands if c <= target_cols]
-        sub_lx = max(below) if below else min(cands)
-        sub_phase = jnp.stack([phase[0], phase[1] * (sub_lx / lx)])
-        sub = lattice_sample(
-            rows_src.astype(wd), ly, sub_lx, sub_phase
-        ).reshape(r, -1)
-        sub_unc = -jnp.abs(jax.lax.stop_gradient(sub))
-        # num_uncertain is nominal-budget-based; the realized lattice pool
-        # can be smaller, so clamp to the sub-lattice length or the scaled
-        # k can exceed the row and top_k fails at trace time
-        k_eff = max(1, min(int(num_uncertain * (ly * sub_lx) / s), ly * sub_lx))
-        thr = _uncertainty_threshold(sub_unc, k_eff, sub=sub_unc)[:, 0]
-    else:
-        thr = jnp.full((r,), 3.0e38, jnp.float32)
-
-    ce_sum, w_sum, num, ps, ts = fused_point_sums(
-        rows_src, rows_tgt, bern_wts, thr, phase, ly, lx, wd, interpret
-    )
-    count = jnp.maximum(w_sum, 1.0)
-    loss_mask = ((ce_sum / count) * keep).sum() / num_masks
-    dice = 1.0 - (2.0 * num + 1.0) / (ps + ts + 1.0)
-    loss_dice = (dice * keep).sum() / num_masks
-    return loss_mask, loss_dice
-
-
 def _loss_masks(
     src_masks: jnp.ndarray,  # (B, N, T, H', W') matched prediction logits
     pool: jnp.ndarray,  # (S, 2) iid point pool, or (2,) lattice phase
@@ -271,7 +191,6 @@ def _loss_masks(
     num_masks: jnp.ndarray,  # scalar
     cfg: CriterionConfig,
     lattice: Tuple[int, int] = None,  # (Ly, Lx) when pool is a phase
-    rows_tgt: jnp.ndarray = None,  # (R, Ht, Wt) raw target rows (fused)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """PointRend-style point loss over a SHARED pool. The pool, the target
     values at it, and the Bernoulli random-point weights are sampled ONCE
@@ -294,14 +213,6 @@ def _loss_masks(
     # every REDUCTION accumulating f32. The chain is HBM-traffic-bound at
     # S~471K, so bf16 halves its bytes; exact f32 otherwise (tests).
     wd = jnp.dtype(cfg.gather_dtype)
-
-    if rows_tgt is not None and _fused_point_loss_active(
-        cfg, lattice, rows_src.shape[1], rows_tgt.shape[1]
-    ):
-        return _loss_masks_fused(
-            rows_src, rows_tgt, pool, bern_wts, keep, num_masks,
-            cfg, lattice, num_uncertain, wd,
-        )
 
     if lattice is not None:
         from ..ops.lattice import lattice_sample
@@ -659,13 +570,6 @@ def _criterion_costs_multi(
             "tgt_valid": tgt_valid,
             "pool": pool,
             "lattice": lat_loss if lattice_mode else None,
-            # raw target rows for the fused point-loss kernel (it
-            # re-blends targets per pass — cheaper than reading the
-            # (R, S) pool); unused state entries get DCE'd
-            "rows_tgt": (
-                tgt_masks.reshape(-1, *tgt_masks.shape[3:])
-                if lattice_mode else None
-            ),
             "pool_tgt": pool_tgt,
             "bern_wts": bern_wts,
             "row_keep": row_keep,
@@ -703,21 +607,8 @@ def _criterion_losses(
     s_pool = state["pool_tgt"].shape[1]
     itemsize = jnp.dtype(cfg.gather_dtype).itemsize
     save_bytes = r_rows * s_pool * itemsize * len(state["layer_aux_ids"])
-    # rows_tgt is a traced array captured as a closure constant of the
-    # scanned/checkpointed loss fn — scan-invariant, hoisted by XLA
-    loss_kw = dict(
-        cfg=cfg, lattice=state["lattice"], rows_tgt=state["rows_tgt"]
-    )
-    fused = state["rows_tgt"] is not None and _fused_point_loss_active(
-        cfg, state["lattice"], state["masks_stack"].shape[-2],
-        state["rows_tgt"].shape[-2],
-    )
-    if fused:
-        # NO remat: the fused kernel's custom-VJP residuals are just the
-        # small source maps — rematerializing would re-run the forward
-        # kernel inside the backward for nothing
-        loss_fn = functools.partial(_loss_masks, **loss_kw)
-    elif save_bytes <= int(2e9):
+    loss_kw = dict(cfg=cfg, lattice=state["lattice"])
+    if save_bytes <= int(2e9):
         policy = jax.checkpoint_policies.save_only_these_names("pool_src")
         loss_fn = jax.checkpoint(
             functools.partial(_loss_masks, **loss_kw), policy=policy

@@ -98,10 +98,8 @@ def upsample_blend_weights(r, phase, m, dtype=jnp.float32):
     by m at output residue(s) r with a random phase: output position
     q + (r + phase)/m - 0.5 (half-integer centres, zeros outside).
 
-    THE single definition of the lattice phase/border convention — both
-    the XLA path (_interp_axis) and the fused pallas point-loss kernel
-    (point_loss_pallas.y_blend_weights) build their blends from it, so
-    they cannot silently diverge."""
+    THE single definition of the lattice phase/border convention —
+    _interp_axis builds its blends from it."""
     delta = (r + phase) / m - 0.5  # in [-0.5, 0.5)
     f = jnp.floor(delta)  # -1 or 0
     frac = (delta - f).astype(dtype)
