@@ -104,17 +104,52 @@ def _postprocess_video_jit(
 
     sel = pred_masks[query_idx].astype(compute_dtype)  # (P, T, H/4, W/4)
     t = sel.shape[1]
-    pad_h, pad_w = sel.shape[2] * 4, sel.shape[3] * 4
-    up = interpolate_bilinear(sel, (pad_h, pad_w), precision="default")
-    up = up[:, :, : image_size[0], : image_size[1]]
+    mh, mw = sel.shape[2], sel.shape[3]
+    pad_h, pad_w = mh * 4, mw * 4
+    if compute_dtype == jnp.bfloat16:
+        # TPU fast path: the upsample-x4 -> crop -> full-res-resize chain
+        # is bilinear-of-bilinear, i.e. LINEAR — compose the interpolation
+        # matrices once (ops/resize.composed_interp_matrix) and apply ONE
+        # (out_h, H/4) x (out_w, W/4) pair directly to the stride-4
+        # logits. The (P, T, pad_h, pad_w) intermediate never exists
+        # (~190 MB less traffic + ~500 GFLOP less dense matmul per clip).
+        # Same AMP noise class as the sequential bf16 chain (the
+        # reference evaluates this interpolation under fp16 autocast);
+        # the f32/CPU path below keeps the reference's literal two-stage
+        # order for bit-level protocol parity (test_demo_parity).
+        from ..ops.resize import composed_interp_matrix
 
-    # chunked full-resolution resize + binarize (bounds peak memory)
-    def resize_chunk(chunk):
-        return interpolate_bilinear(chunk, output_size, precision="default") > 0.0
+        mat_h = jnp.asarray(
+            composed_interp_matrix(mh, pad_h, image_size[0], output_size[0]),
+            dtype=compute_dtype,
+        )
+        mat_w = jnp.asarray(
+            composed_interp_matrix(mw, pad_w, image_size[1], output_size[1]),
+            dtype=compute_dtype,
+        )
+        flat = sel.reshape(-1, mh, mw)
+        up_h = jnp.einsum(
+            "oh,bhw->bow", mat_h, flat,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        masks = jnp.einsum(
+            "ow,bhw->bho", mat_w, up_h,
+            precision=jax.lax.Precision.DEFAULT,
+        ) > 0.0
+        masks = masks.reshape(num_predictions, t, *output_size)
+    else:
+        up = interpolate_bilinear(sel, (pad_h, pad_w), precision="default")
+        up = up[:, :, : image_size[0], : image_size[1]]
 
-    chunks = jnp.stack(jnp.split(up, _chunks(num_predictions), axis=0))
-    masks = jax.lax.map(resize_chunk, chunks)
-    masks = masks.reshape(num_predictions, t, *output_size)
+        # chunked full-resolution resize + binarize (bounds peak memory)
+        def resize_chunk(chunk):
+            return interpolate_bilinear(
+                chunk, output_size, precision="default"
+            ) > 0.0
+
+        chunks = jnp.stack(jnp.split(up, _chunks(num_predictions), axis=0))
+        masks = jax.lax.map(resize_chunk, chunks)
+        masks = masks.reshape(num_predictions, t, *output_size)
 
     if use_nms:
         iou = mask_iou_matrix(masks)

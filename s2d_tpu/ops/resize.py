@@ -77,6 +77,20 @@ def _upsample_int_axis(flat: jnp.ndarray, m: int, axis: int) -> jnp.ndarray:
     return out.reshape(shape)
 
 
+@functools.lru_cache(maxsize=64)
+def composed_interp_matrix(
+    in_size: int, mid_size: int, crop: int, out_size: int
+) -> np.ndarray:
+    """(out_size, in_size) matrix of resize(in->mid) -> crop[:crop] ->
+    resize(crop->out) composed into ONE linear map (float64 compose, f32
+    cast). Bilinear-of-bilinear is linear, so the eval postprocess's
+    upsample->crop->resize chain collapses to a single pair of 1-D
+    matmuls that never materializes the mid-resolution tensor."""
+    m1 = _interp_matrix(in_size, mid_size).astype(np.float64)[:crop]
+    m2 = _interp_matrix(crop, out_size).astype(np.float64)
+    return (m2 @ m1).astype(np.float32)
+
+
 def interpolate_bilinear(
     x: jnp.ndarray, size: tuple[int, int], precision: str = "highest"
 ) -> jnp.ndarray:
