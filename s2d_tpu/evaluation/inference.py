@@ -19,8 +19,9 @@ results, 2x less peak memory), and the final full-resolution resize is
 chunked over predictions.
 
 Departure for transport: the binarized full-resolution masks are
-bit-packed on device (`jnp.packbits` along W, MSB-first — numpy's
-`unpackbits` convention) before they leave the chip. The host needs the
+bit-packed on device along H (MSB-first, numpy's `unpackbits(axis=-2)`
+convention; see `pack_mask_bits` for why H and not W) before they leave
+the chip. The host needs the
 masks only to RLE-encode them (evaluator) or paint overlays (demo), and
 a whole-video track at 50 predictions x T x 720 x 1280 is ~GBs as bools;
 packing cuts the device->host readback (and the output HBM buffer) 8x.
@@ -156,23 +157,45 @@ def _postprocess_video_jit(
         keep = greedy_mask_nms(iou, labels, nms_thresh)
     else:
         keep = jnp.ones((num_predictions,), dtype=bool)
-    # bit-pack along W for the 8x-smaller readback (see module docstring);
-    # "mask_width" rides along so the host can crop the pad byte's bits.
+    # bit-pack along H for the 8x-smaller readback (see module docstring);
+    # "mask_height" rides along so the host can crop the pad byte's bits.
     # S2D_PACK_MASKS=0 opts out (escape hatch for a backend where the
-    # packbits lowering misbehaves; tools/check_packbits_onchip.py gates it)
+    # pack lowering misbehaves; tools/check_packbits_onchip.py gates it)
     if not pack_bits:
         return {
             "scores": top_scores, "labels": labels,
             "masks": masks, "keep": keep,
         }
-    packed = jnp.packbits(masks, axis=-1)
     return {
         "scores": top_scores,
         "labels": labels,
-        "masks": packed,
-        "mask_width": jnp.int32(masks.shape[-1]),
+        "masks": pack_mask_bits(masks),
+        "mask_height": jnp.int32(masks.shape[-2]),
         "keep": keep,
     }
+
+
+def pack_mask_bits(masks: jnp.ndarray) -> jnp.ndarray:
+    """Bit-pack bool masks (..., H, W) along the H axis (MSB-first, the
+    numpy `packbits(axis=-2)` convention) -> (..., ceil(H/8), W) uint8.
+
+    H, not W: packing the minor (lane) axis lowers to a cross-lane
+    shuffle on TPU (`jnp.packbits(axis=-1)` measured 6 ms for a protocol
+    clip — ~60 GB/s effective); grouping 8 SUBLANE rows is a contiguous
+    reshape + weighted sum, which XLA fuses into the producers. The bits
+    are disjoint powers of two, so the uint8 sum is exact."""
+    h = masks.shape[-2]
+    pad = (-h) % 8
+    if pad:
+        cfgpad = [(0, 0)] * (masks.ndim - 2) + [(0, pad), (0, 0)]
+        masks = jnp.pad(masks, cfgpad)
+    view = masks.reshape(
+        *masks.shape[:-2], (h + pad) // 8, 8, masks.shape[-1]
+    )
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return (view.astype(jnp.uint8) * weights[:, None]).sum(
+        axis=-2, dtype=jnp.uint8
+    )
 
 
 def _chunks(n: int) -> int:
@@ -185,13 +208,19 @@ def _chunks(n: int) -> int:
 def unpack_masks(device_out: Dict[str, jnp.ndarray]) -> np.ndarray:
     """Read back `postprocess_video` masks and unpack to bool (P,T,H,W).
 
-    Accepts both the packed (uint8 + "mask_width") layout and plain bool
-    masks (hand-built dicts in tests / older callers)."""
+    Accepts the H-packed layout (uint8 + "mask_height"), the legacy
+    W-packed layout (uint8 + "mask_width"), and plain bool masks
+    (hand-built dicts in tests / older callers)."""
     masks = np.asarray(device_out["masks"])
-    if masks.dtype == np.uint8 and "mask_width" in device_out:
-        width = int(device_out["mask_width"])
+    if masks.dtype == np.uint8 and "mask_height" in device_out:
+        height = int(device_out["mask_height"])
         # unpackbits yields 0/1 uint8 — view as bool (no second full-size
         # copy; whole-video tracks are GBs) and crop the pad byte's bits
+        masks = np.unpackbits(masks, axis=-2).view(np.bool_)[
+            ..., :height, :
+        ]
+    elif masks.dtype == np.uint8 and "mask_width" in device_out:
+        width = int(device_out["mask_width"])
         masks = np.unpackbits(masks, axis=-1).view(np.bool_)[..., :width]
     return masks
 

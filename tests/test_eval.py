@@ -111,9 +111,10 @@ def test_verify_results():
 
 
 def test_postprocess_masks_bitpacked_roundtrip():
-    """postprocess_video ships masks bit-packed (8x smaller readback);
-    finalize/unpack must restore them exactly — incl. a width that is NOT
-    a multiple of 8 (the pad byte's tail bits are cropped)."""
+    """postprocess_video ships masks bit-packed along H (8x smaller
+    readback; H not W — lane-axis packing lowers to a cross-lane shuffle
+    on TPU); finalize/unpack must restore them exactly — incl. a height
+    that is NOT a multiple of 8 (the pad byte's tail bits are cropped)."""
     import jax.numpy as jnp
 
     from s2d_tpu.evaluation.inference import (
@@ -139,7 +140,8 @@ def test_postprocess_masks_bitpacked_roundtrip():
         compute_dtype=jnp.float32,
     )
     assert np.asarray(dev["masks"]).dtype == np.uint8
-    assert dev["masks"].shape[-1] == (out_size[1] + 7) // 8
+    assert dev["masks"].shape[-2] == (out_size[0] + 7) // 8  # 30 % 8 != 0
+    assert dev["masks"].shape[-1] == out_size[1]
     got = unpack_masks(dev)
     assert got.shape == (q, t, *out_size) and got.dtype == bool
 

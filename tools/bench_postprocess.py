@@ -148,10 +148,16 @@ def main():
     t5 = timed(lambda: s5(iou, labels), bar_scalar, args.iters)
     print(f"s5 greedy NMS: {t5*1e3:.2f} ms", flush=True)
 
-    # stage 6: packbits
-    s6 = jax.jit(lambda m: jnp.packbits(m, axis=-1))
+    # stage 6: bit-pack for readback — production H-pack vs the old
+    # W-axis jnp.packbits (lane-shuffle lowering) for reference
+    from s2d_tpu.evaluation.inference import pack_mask_bits
+
+    s6 = jax.jit(pack_mask_bits)
     t6 = timed(lambda: s6(bin_masks), bar_scalar, args.iters)
-    print(f"s6 packbits: {t6*1e3:.2f} ms", flush=True)
+    print(f"s6 H-pack: {t6*1e3:.2f} ms", flush=True)
+    s6w = jax.jit(lambda m: jnp.packbits(m, axis=-1))
+    t6w = timed(lambda: s6w(bin_masks), bar_scalar, args.iters)
+    print(f"s6 W-packbits (old): {t6w*1e3:.2f} ms", flush=True)
 
     total = t1 + t2 + t3c + t4 + t5 + t6
     print(f"stage sum: {total*1e3:.2f} ms (full: {t_full*1e3:.2f} ms)",

@@ -1,13 +1,14 @@
 #!/usr/bin/env python
 """ON-CHIP sanity gate for the bit-packed eval mask readback.
 
-`postprocess_video` ships binarized masks through `jnp.packbits`
-(s2d_tpu/evaluation/inference.py) — a lowering never exercised on the
-axon TPU backend before. This gate verifies, on whatever backend jax
-resolves (intended: the real TPU):
+`postprocess_video` ships binarized masks through `pack_mask_bits`
+(s2d_tpu/evaluation/inference.py — H-axis weighted-sum packing; W-axis
+`jnp.packbits` lowered to a ~60 GB/s cross-lane shuffle). This gate
+verifies, on whatever backend jax resolves (intended: the real TPU):
 
-  1. jnp.packbits vs np.packbits bit-equality at the eval protocol mask
-     shape (50, 8, 720, 1280) and at a ragged width (W % 8 != 0);
+  1. pack_mask_bits vs np.packbits(axis=-2) bit-equality at the eval
+     protocol mask shape (50, 8, 720, 1280) and at a ragged HEIGHT
+     (H % 8 != 0), with a timing line for the readback;
   2. the full postprocess_video -> finalize_predictions chain equals the
      S2D_PACK_MASKS=0 (unpacked) chain at identical inputs;
   3. jnp.unpackbits vs np.unpackbits at a training target-mask shape
@@ -54,16 +55,20 @@ def record(name, passed, detail=""):
 def main():
     rng = np.random.default_rng(0)
 
-    # 1. raw packbits parity, protocol shape + ragged width
+    from s2d_tpu.evaluation.inference import pack_mask_bits
+
+    # 1. raw H-pack parity, protocol shape + ragged height
     for name, shape in [
-        ("packbits_protocol", (50, 8, 720, 1280)),
-        ("packbits_ragged", (4, 3, 30, 52)),
+        ("hpack_protocol", (50, 8, 720, 1280)),
+        ("hpack_ragged", (4, 3, 30, 52)),
     ]:
         bits = rng.random(shape) > 0.5
         t0 = time.perf_counter()
-        dev = np.asarray(jnp.packbits(jnp.asarray(bits), axis=-1))
+        dev = np.asarray(pack_mask_bits(jnp.asarray(bits)))
         dt = time.perf_counter() - t0
-        ref = np.packbits(bits, axis=-1)
+        hpad = (-shape[-2]) % 8
+        padded = np.pad(bits, [(0, 0)] * 2 + [(0, hpad), (0, 0)])
+        ref = np.packbits(padded, axis=-2)
         record(name, np.array_equal(dev, ref), f"{dt * 1e3:.1f} ms incl. transfer")
 
     # 1b. unpackbits parity at a training target shape (B,N,T,H,W/8)

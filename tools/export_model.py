@@ -27,7 +27,7 @@ Serving-side consumer (no s2d_tpu imports needed):
     params = orbax.checkpoint.StandardCheckpointer().restore(
         "<output>/params/0/default")
     out = rt.call(params, frames_uint8)   # shapes per manifest.json
-    # out["masks"] is uint8 bit-packed along W (np.unpackbits to expand)
+    # out["masks"] is uint8 bit-packed along H (np.unpackbits(axis=-2))
 
 Notes:
   * exports the portable XLA MSDA formulation (msda_impl="xla"); the
@@ -149,7 +149,7 @@ def main(argv=None):
             for k, v in out_tree.items()
         },
         "output_size": [2 * h, 2 * w],
-        "masks_packed_along_w": True,
+        "masks_packed_along_h": True,
         "platforms": list(exported.platforms),
         "num_predictions": cfg.model.mask_former.test.num_predictions,
     }
