@@ -48,12 +48,16 @@ def make_batch(rs: np.random.RandomState, b=4, t=2, h=32, w=32, n=3):
     masks = np.zeros((b, n, t, h, w), bool)
     valid = np.zeros((b, n), bool)
     colors = np.eye(3, dtype=np.float32)  # instance i is pure channel i
+    # rectangle sizes scale with the canvas (1/4 .. 1/2 of each side)
+    smin, smax = max(2, h // 4), max(3, h // 2)
+    wmin, wmax = max(2, w // 4), max(3, w // 2)
+    shift = max(1, h // 10)
     for bi in range(b):
         k = rs.randint(1, n + 1)
         for ni in range(k):
-            bh, bw = rs.randint(8, 16), rs.randint(8, 16)
+            bh, bw = rs.randint(smin, smax), rs.randint(wmin, wmax)
             y, x = rs.randint(0, h - bh), rs.randint(0, w - bw)
-            dy, dx = rs.randint(-3, 4), rs.randint(-3, 4)
+            dy, dx = rs.randint(-shift, shift + 1), rs.randint(-shift, shift + 1)
             for ti in range(t):
                 yy = np.clip(y + dy * ti, 0, h - bh)
                 xx = np.clip(x + dx * ti, 0, w - bw)
@@ -169,15 +173,44 @@ def build_naive_criterion(cfg):
 
 # -------------------------------------------------------------- training
 
+SCALES = {
+    # the round-1 toy experiment (32-dim, 8 queries, 2 layers, 32px)
+    "toy": dict(
+        model=dict(hidden_dim=32, mask_dim=32, num_queries=8, nheads=4,
+                   dim_feedforward=64, dec_layers=2),
+        batch=dict(b=4, t=2, h=32, w=32, n=3),
+        val_b=8, num_points=64,
+    ),
+    # the PRODUCTION criterion regime (VERDICT r2 Weak #6): 100 queries,
+    # 10 decoder outputs, TRAIN_NUM_POINTS=160000 (S=480K oversample
+    # pools), masks at the reference train resolution 368x640 — the
+    # model stays thin (64-dim) so the run measures the SAMPLING stack,
+    # not backbone capacity. Sized for the real chip (~15-25 min/arm for
+    # naive, ~3 min for iid/lattice at 300 steps).
+    "full": dict(
+        model=dict(hidden_dim=64, mask_dim=64, num_queries=100, nheads=8,
+                   dim_feedforward=128, dec_layers=9),
+        batch=dict(b=1, t=3, h=368, w=640, n=8),
+        val_b=4, num_points=160000,
+    ),
+}
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--arms", default="naive,iid,lattice")
-    parser.add_argument("--num-points", type=int, default=64)
+    parser.add_argument("--scale", default="toy", choices=sorted(SCALES))
+    parser.add_argument("--num-points", type=int, default=None,
+                        help="default: per-scale (toy 64, full 160000)")
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", default="/tmp/ab_convergence.json")
     args = parser.parse_args(argv)
+    preset = SCALES[args.scale]
+    if args.num_points is None:
+        args.num_points = preset["num_points"]
+    bshape = preset["batch"]
 
     from s2d_tpu.utils.jax_setup import setup_runtime
     setup_runtime()
@@ -189,9 +222,8 @@ def main(argv=None) -> int:
     from s2d_tpu.models.meta_arch import VideoMaskFormer
 
     model = VideoMaskFormer(
-        num_classes=1, hidden_dim=32, mask_dim=32, num_queries=8, nheads=4,
-        dim_feedforward=64, dec_layers=2, transformer_enc_layers=1,
-        compute_dtype=jnp.float32,
+        num_classes=1, transformer_enc_layers=1,
+        compute_dtype=jnp.float32, **preset["model"],
     )
 
     def weighted_total(losses, cfg):
@@ -231,31 +263,37 @@ def main(argv=None) -> int:
         b, q, t = pm.shape[:3]
         h, w = masks.shape[-2:]
         pm = jax.image.resize(pm, (b, q, t, h, w), "bilinear") > 0
-        tm = masks[:, :, None]  # (B, N, 1, T, H, W)
-        pmq = pm[:, None]       # (B, 1, Q, T, H, W)
-        inter = (tm & pmq).sum((3, 4, 5)).astype(jnp.float32)
-        union = (tm | pmq).sum((3, 4, 5)).astype(jnp.float32)
+        # matmul-form IoU: exact for 0/1 counts in f32 (pixel counts
+        # < 2^24) and avoids the (B, N, Q, T, H, W) broadcast that is
+        # terabytes at full scale
+        pm_f = pm.reshape(b, q, -1).astype(jnp.float32)
+        tm_f = masks.reshape(b, masks.shape[1], -1).astype(jnp.float32)
+        inter = jnp.einsum("bnf,bqf->bnq", tm_f, pm_f)
+        union = (tm_f.sum(-1)[:, :, None] + pm_f.sum(-1)[:, None, :]
+                 - inter)
         iou = inter / jnp.maximum(union, 1.0)  # (B, N, Q)
         best = iou.max(-1)
         mean_iou = (best * valid).sum() / jnp.maximum(valid.sum(), 1)
         return total, mean_iou
 
     rs_val = np.random.RandomState(10_000 + args.seed)
-    val_batch = make_batch(rs_val, b=8)
+    val_batch = make_batch(rs_val, **{**bshape, "b": preset["val_b"]})
     val_rng = jax.random.PRNGKey(999)
 
     results = {}
     for name in args.arms.split(","):
         cfg, step_fn = build_arm(name)
-        params = model.init(jax.random.PRNGKey(args.seed),
-                            jnp.zeros((1, 2, 32, 32, 3)))
+        params = model.init(
+            jax.random.PRNGKey(args.seed),
+            jnp.zeros((1, bshape["t"], bshape["h"], bshape["w"], 3)),
+        )
         tx = optax.adam(args.lr)
         opt_state = tx.init(params)
         rs = np.random.RandomState(args.seed)  # same stream for every arm
         traj = []
         t0 = time.time()
         for step in range(args.steps):
-            images, masks, valid = make_batch(rs)
+            images, masks, valid = make_batch(rs, **bshape)
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), step)
             (total, _losses), grads = step_fn(
                 params, jnp.asarray(images), jnp.asarray(masks),
