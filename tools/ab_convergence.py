@@ -47,7 +47,13 @@ def make_batch(rs: np.random.RandomState, b=4, t=2, h=32, w=32, n=3):
     images = rs.rand(b, t, h, w, 3).astype(np.float32) * 0.2
     masks = np.zeros((b, n, t, h, w), bool)
     valid = np.zeros((b, n), bool)
-    colors = np.eye(3, dtype=np.float32)  # instance i is pure channel i
+    # distinct color per instance slot; eye(3) for the toy n=3, extended
+    # with saturated mixtures so the full-scale n=8 stays one-color-per-slot
+    palette = np.array(
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0], [1, 0, 1],
+         [0, 1, 1], [1, 0.5, 0], [0.5, 0, 1], [0, 1, 0.5], [1, 1, 1]],
+        dtype=np.float32)
+    colors = palette[np.arange(n) % len(palette)]
     # rectangle sizes scale with the canvas (1/4 .. 1/2 of each side)
     smin, smax = max(2, h // 4), max(3, h // 2)
     wmin, wmax = max(2, w // 4), max(3, w // 2)
