@@ -96,6 +96,13 @@ class MaskFormerConfig:
     enforce_input_proj: bool = False
     size_divisibility: int = 32
     train_num_points: int = 160000
+    # point count for the MATCHER's cost estimates only (0 = use
+    # train_num_points, the reference behavior: matcher.py:252-264 samples
+    # the same cfg count). The cost scan is ~300 ms of the 421 ms
+    # criterion pair at 160K points and is linear in this count; the
+    # assignment only needs cost RANKS, so a smaller count is a
+    # beyond-reference opt-in speed lever (convergence A/B before use).
+    matcher_num_points: int = 0
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75
     # criterion point-pool construction: "lattice" (random-phase jittered

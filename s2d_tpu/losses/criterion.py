@@ -44,6 +44,13 @@ class CriterionConfig:
     cost_mask: float = 5.0
     cost_dice: float = 5.0
     num_points: int = 12544
+    # matcher-side point count (0 = num_points, reference parity:
+    # matcher.py:252-264 uses the same cfg count as the losses). The
+    # matcher only consumes cost RANKS, so fewer points — the first
+    # matcher_num_points of the shared pool (iid) or a smaller lattice —
+    # trade assignment-estimate noise for a linear cut of the per-layer
+    # cost scan, the dominant term of the criterion pair on v5e.
+    matcher_num_points: int = 0
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75
     masks_only: bool = True  # temporal DropLoss strategy
@@ -314,7 +321,10 @@ def match_outputs(
 ) -> jnp.ndarray:
     """Run the Hungarian matching; returns (B, N) matched query indices."""
     pred_pts, tgt_pts = sample_match_points(
-        rng, pred_masks.astype(jnp.float32), tgt_masks, cfg.num_points
+        rng,
+        pred_masks.astype(jnp.float32),
+        tgt_masks,
+        cfg.matcher_num_points or cfg.num_points,
     )
     cost = match_costs(
         pred_logits,
@@ -381,6 +391,7 @@ def _criterion_costs_multi(
     assert all(
         c.num_points == cfg0.num_points
         and c.oversample_ratio == cfg0.oversample_ratio
+        and c.matcher_num_points == cfg0.matcher_num_points
         for _, _, c in target_sets
     ), "target sets sharing one pool must agree on its size"
 
@@ -394,7 +405,10 @@ def _criterion_costs_multi(
     # benefit.
     rng, k_pool, k_bern = jax.random.split(rng, 3)
     num_sampled = int(cfg0.num_points * cfg0.oversample_ratio)
-    p = cfg0.num_points
+    p = cfg0.matcher_num_points or cfg0.num_points
+    assert p <= num_sampled, (
+        "matcher_num_points must fit inside the shared oversample pool"
+    )
 
     lattice_mode = cfg0.point_sampling == "lattice"
     if lattice_mode:

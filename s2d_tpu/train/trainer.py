@@ -176,6 +176,7 @@ def make_train_step(
         cost_mask=mf.mask_weight,
         cost_dice=mf.dice_weight,
         num_points=mf.train_num_points,
+        matcher_num_points=mf.matcher_num_points,
         oversample_ratio=mf.oversample_ratio,
         importance_sample_ratio=mf.importance_sample_ratio,
         masks_only=mf.loss_strategy == "masks-only",

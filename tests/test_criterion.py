@@ -231,6 +231,54 @@ def test_set_criterion_pair_matches_two_calls():
     check(lb, pb)
 
 
+def test_matcher_num_points_preserves_assignment():
+    """matcher_num_points < num_points changes ONLY the matcher's cost
+    estimate. On an unambiguous problem (each target is a distinct
+    rectangle and one query predicts exactly it) the assignment — and
+    therefore every loss value, since the loss-side pool is untouched —
+    is identical to the full-count reference behavior."""
+    b, q, n, t, hp, wp = 1, 6, 3, 2, 16, 16
+    h, w = hp * 4, wp * 4
+    masks = np.zeros((b, n, t, h, w), bool)
+    boxes = [(4, 4, 24, 24), (34, 8, 58, 30), (10, 38, 30, 60)]
+    for ni, (y0, x0, y1, x1) in enumerate(boxes):
+        masks[:, ni, :, y0:y1, x0:x1] = True
+    # queries 0..n-1 predict targets n-1..0 with high confidence; the
+    # rest predict nothing
+    pred = np.full((b, q, t, hp, wp), -8.0, np.float32)
+    for ni in range(n):
+        y0, x0, y1, x1 = [v // 4 for v in boxes[ni]]
+        pred[:, n - 1 - ni, :, y0:y1, x0:x1] = 8.0
+    outputs = {
+        "pred_logits": jnp.asarray(
+            np.tile(np.array([[2.0, -2.0]], np.float32), (b, q, 1))
+        ),
+        "pred_masks": jnp.asarray(pred),
+        "aux_pred_logits": [],
+        "aux_pred_masks": [],
+    }
+    valid = jnp.ones((b, n), bool)
+    key = jax.random.PRNGKey(0)
+    for sampling in ("iid", "lattice"):
+        full = set_criterion(
+            key, outputs, jnp.asarray(masks), valid,
+            CriterionConfig(num_points=512, point_sampling=sampling),
+        )
+        small = set_criterion(
+            key, outputs, jnp.asarray(masks), valid,
+            CriterionConfig(
+                num_points=512, matcher_num_points=64,
+                point_sampling=sampling,
+            ),
+        )
+        assert set(full) == set(small)
+        for k in full:
+            np.testing.assert_allclose(
+                float(small[k]), float(full[k]), rtol=1e-6,
+                err_msg=f"{sampling}:{k}",
+            )
+
+
 def test_uncertainty_threshold_selection():
     """Bisected subsample quantile: exact top_k fallback for small pools,
     near-exact selection (count within 1%, >=98% overlap with exact

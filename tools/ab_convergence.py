@@ -209,6 +209,10 @@ def main(argv=None) -> int:
     parser.add_argument("--scale", default="toy", choices=sorted(SCALES))
     parser.add_argument("--num-points", type=int, default=None,
                         help="default: per-scale (toy 64, full 160000)")
+    parser.add_argument("--matcher-points", type=int, default=0,
+                        help="MATCHER_NUM_POINTS for the production arms "
+                        "(iid/lattice); the naive arm stays reference-"
+                        "exact. 0 = full num-points (parity default)")
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", default="/tmp/ab_convergence.json")
@@ -245,6 +249,7 @@ def main(argv=None) -> int:
         cfg = CriterionConfig(
             num_points=args.num_points,
             point_sampling="lattice" if name == "lattice" else "iid",
+            matcher_num_points=0 if name == "naive" else args.matcher_points,
         )
         crit = build_naive_criterion(cfg) if name == "naive" else set_criterion
         def loss_fn(params, images, masks, valid, rng):

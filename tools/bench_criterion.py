@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--n", type=int, default=25)
     ap.add_argument("--num-points", type=int, default=160000)
+    ap.add_argument("--matcher-points", type=int, default=0,
+                    help="matcher-side point count (0 = num-points)")
     ap.add_argument("--layers", type=int, default=10)
     ap.add_argument("--amp", action="store_true",
                     help="DEFAULT-precision bwd einsums (SOLVER.AMP on)")
@@ -67,6 +69,7 @@ def main():
 
     cfg = C.CriterionConfig(
         num_points=args.num_points,
+        matcher_num_points=args.matcher_points,
         importance_sample_ratio=0.0 if args.no_selection else 0.75,
         bwd_einsum_precision=(
             jax.lax.Precision.DEFAULT if args.amp

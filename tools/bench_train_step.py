@@ -24,6 +24,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--num-points", type=int, default=None)
+    ap.add_argument("--matcher-points", type=int, default=None,
+                    help="MODEL.MASK_FORMER.MATCHER_NUM_POINTS override "
+                    "(matcher-side cost points; 0/None = num-points)")
     ap.add_argument("--t", type=int, default=3)
     ap.add_argument("--hw", type=str, default="368x640")
     ap.add_argument("--n-targets", type=int, default=25)
@@ -89,6 +92,10 @@ def main():
     )
     if args.num_points is not None:
         object.__setattr__(cfg.model.mask_former, "train_num_points", args.num_points)
+    if args.matcher_points is not None:
+        object.__setattr__(
+            cfg.model.mask_former, "matcher_num_points", args.matcher_points
+        )
     if args.point_sampling is not None:
         object.__setattr__(
             cfg.model.mask_former, "point_sampling", args.point_sampling
