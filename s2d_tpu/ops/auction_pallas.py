@@ -257,6 +257,14 @@ def auction_asym_pallas(
     """
     bsz = benefit.shape[0]
     assert benefit.shape[1:] == (n, q), benefit.shape
+    if bsz == 1:
+        # Mosaic cannot sublane-broadcast the (1, P) while-loop carries
+        # ("Not implemented: Sublane broadcast" at the jnp.where price
+        # updates) — solve a duplicated pair and keep the first answer
+        return auction_asym_pallas(
+            jnp.concatenate([benefit, benefit], axis=0),
+            n, q, eps_list, max_iters, interpret,
+        )[:1]
     np_ = max(8, ((n + 7) // 8) * 8)
     p = max(128, ((q + 127) // 128) * 128)
     if (np_ - n) or (p - q):
