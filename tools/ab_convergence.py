@@ -157,21 +157,40 @@ def build_naive_criterion(cfg):
         empty = tgt_masks.reshape(*tgt_masks.shape[:3], -1).sum(-1) == 0
         row_keep = tgt_valid[:, :, None] & ~empty
         num_masks = jnp.maximum(tgt_valid.sum().astype(jnp.float32), 1.0)
-        layers = [(None, outputs["pred_logits"], outputs["pred_masks"])] + [
-            (i, lg, mk) for i, (lg, mk) in enumerate(
-                zip(outputs["aux_pred_logits"], outputs["aux_pred_masks"]))
-        ]
-        losses = {}
-        for li, (aux_i, logits, masks) in enumerate(layers):
+        # lax.scan over layers, like the production criterion: unrolled,
+        # the 10 per-layer fresh (R, S) oversample pools co-schedule and
+        # OOM real-chip HBM at full scale (S=480K) — scan serializes them
+        # so peak memory is ONE layer's pool
+        logits_all = jnp.stack(
+            [outputs["pred_logits"], *outputs["aux_pred_logits"]]
+        )
+        masks_all = jnp.stack(
+            [outputs["pred_masks"], *outputs["aux_pred_masks"]]
+        )
+        n_layers = logits_all.shape[0]
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jnp.arange(n_layers)
+        )
+
+        def step(carry, inp):
+            key, logits, masks = inp
             assign, lm, ld = layer_losses(
-                jax.random.fold_in(rng, li), logits, masks,
-                tgt_masks, tgt_valid, row_keep, num_masks)
-            sfx = "" if aux_i is None else f"_{aux_i}"
-            losses[f"loss_mask{sfx}"] = lm
-            losses[f"loss_dice{sfx}"] = ld
-            if aux_i is None:
-                losses["loss_ce"] = _loss_labels(
-                    logits, assign, tgt_valid, cfg_)
+                key, logits, masks, tgt_masks, tgt_valid, row_keep,
+                num_masks)
+            return carry, (assign, lm, ld)
+
+        _, (assigns, lms, lds) = jax.lax.scan(
+            step, 0, (keys, logits_all, masks_all)
+        )
+        losses = {
+            "loss_mask": lms[0],
+            "loss_dice": lds[0],
+            "loss_ce": _loss_labels(logits_all[0], assigns[0], tgt_valid,
+                                    cfg_),
+        }
+        for i in range(1, n_layers):
+            losses[f"loss_mask_{i - 1}"] = lms[i]
+            losses[f"loss_dice_{i - 1}"] = lds[i]
         return losses
 
     return criterion
