@@ -270,7 +270,7 @@ def test_export_model_cli(tmp_path):
     manifest = json.load(open(os.path.join(out, "manifest.json")))
     assert manifest["input"]["frames"] == [2, 64, 96, 3]
     assert manifest["output_size"] == [128, 192]
-    assert manifest["masks_packed_along_w"] is True
+    assert manifest["masks_packed_along_h"] is True
     assert os.path.exists(os.path.join(out, "module.bin"))
     assert os.path.isdir(os.path.join(out, "params"))
 

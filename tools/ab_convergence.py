@@ -172,9 +172,17 @@ def build_naive_criterion(cfg):
             jnp.arange(n_layers)
         )
 
+        # remat: layer_losses' differentiable src sampling is a one-hot
+        # interpolation einsum whose saved residual is the (R, P, HW)
+        # sparse matrix — stacked over 9 scan steps that is a ~2 TB
+        # compile-time allocation at full scale. Recomputed inside each
+        # layer's backward, XLA fuses the one-hot into the cotangent
+        # einsum and nothing per-layer is saved.
+        layer_ckpt = jax.checkpoint(layer_losses)
+
         def step(carry, inp):
             key, logits, masks = inp
-            assign, lm, ld = layer_losses(
+            assign, lm, ld = layer_ckpt(
                 key, logits, masks, tgt_masks, tgt_valid, row_keep,
                 num_masks)
             return carry, (assign, lm, ld)
@@ -252,7 +260,13 @@ def main(argv=None) -> int:
 
     model = VideoMaskFormer(
         num_classes=1, transformer_enc_layers=1,
-        compute_dtype=jnp.float32, **preset["model"],
+        compute_dtype=jnp.float32,
+        # the training-safe MSDA unit (same as the production trainer's
+        # non-AMP build): the default "xla" auto-routes small levels to
+        # the one-hot unit, whose BACKWARD materializes the sparse
+        # interpolation matrices and OOMs HBM at the full-scale preset
+        msda_impl="xla_gather",
+        **preset["model"],
     )
 
     def weighted_total(losses, cfg):
