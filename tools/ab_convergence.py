@@ -266,6 +266,10 @@ def main(argv=None) -> int:
         # the one-hot unit, whose BACKWARD materializes the sparse
         # interpolation matrices and OOMs HBM at the full-scale preset
         msda_impl="xla_gather",
+        # remat the encoder like the production trainer: the f32
+        # full-scale step's saved activations otherwise stack on top of
+        # the criterion peak and kill the 16G chip
+        grad_checkpoint=True,
         **preset["model"],
     )
 
