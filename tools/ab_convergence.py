@@ -328,6 +328,26 @@ def main(argv=None) -> int:
     val_batch = make_batch(rs_val, **{**bshape, "b": preset["val_b"]})
     val_rng = jax.random.PRNGKey(999)
 
+    def validate_all(params):
+        """One val clip per device call: the naive yardstick at val_b=4
+        in one jit (4x the training criterion's peak, plus the (B, Q, T,
+        H, W) upsample) took the full-scale chip down. Per-item
+        num_masks normalization differs from one batched call only in
+        the per-clip weighting of the average — identical for every arm,
+        so comparisons are unaffected."""
+        tl, ti = [], []
+        for i in range(val_batch[0].shape[0]):
+            vloss, viou = validate(
+                params,
+                jnp.asarray(val_batch[0][i : i + 1]),
+                jnp.asarray(val_batch[1][i : i + 1]),
+                jnp.asarray(val_batch[2][i : i + 1]),
+                val_rng,
+            )
+            tl.append(float(vloss))
+            ti.append(float(viou))
+        return float(np.mean(tl)), float(np.mean(ti))
+
     results = {}
     for name in args.arms.split(","):
         cfg, step_fn = build_arm(name)
@@ -352,16 +372,14 @@ def main(argv=None) -> int:
             if step % 50 == 0:
                 print(f"[{name}] step {step}: loss {float(total):.4f}",
                       flush=True)
-        vloss, viou = validate(params, jnp.asarray(val_batch[0]),
-                               jnp.asarray(val_batch[1]),
-                               jnp.asarray(val_batch[2]), val_rng)
+        vloss, viou = validate_all(params)
         results[name] = {
             "loss_first50": float(np.mean(traj[:50])),
             "loss_mid": float(np.mean(traj[len(traj) // 2 - 25:
                                            len(traj) // 2 + 25])),
             "loss_last50": float(np.mean(traj[-50:])),
-            "val_naive_loss": float(vloss),
-            "val_mean_best_iou": float(viou),
+            "val_naive_loss": vloss,
+            "val_mean_best_iou": viou,
             "seconds": round(time.time() - t0, 1),
             "trajectory_every10": [round(x, 4) for x in traj[::10]],
         }
