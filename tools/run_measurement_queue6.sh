@@ -10,13 +10,8 @@ log() { echo "=== [$1] $(date -u +%H:%M:%S) :: $2"; }
 
 echo "###### queue6b start $(date -u) ######"
 
-log ab-full-smoke "ab_convergence --scale full --steps 3 (compile + sanity)"
-timeout 3600 python tools/ab_convergence.py --scale full --steps 3 \
-  --arms naive,iid,lattice --out /tmp/ab_full_smoke.json
-echo "--- [ab-full-smoke] rc=$? $(date -u +%H:%M:%S)"
-
-log ab-full-s0 "ab_convergence --scale full --steps 300 --seed 0"
-timeout 14400 python tools/ab_convergence.py --scale full --steps 300 \
+log ab-full-s0 "ab_convergence --scale full --steps 150 --seed 0"
+timeout 14400 python tools/ab_convergence.py --scale full --steps 150 \
   --seed 0 --out ab_full_seed0.json
 echo "--- [ab-full-s0] rc=$? $(date -u +%H:%M:%S)"
 
@@ -33,7 +28,7 @@ timeout 3000 python tools/bench_train_step.py --cli-defaults \
 echo "--- [train-mp20k] rc=$? $(date -u +%H:%M:%S)"
 
 log ab-full-mp20k "full-scale convergence A/B, matcher-points 20000 (vs ab-full-s0)"
-timeout 10800 python tools/ab_convergence.py --scale full --steps 300 \
+timeout 10800 python tools/ab_convergence.py --scale full --steps 150 \
   --seed 0 --arms iid,lattice --matcher-points 20000 \
   --out ab_full_seed0_mp20k.json
 echo "--- [ab-full-mp20k] rc=$? $(date -u +%H:%M:%S)"
