@@ -143,6 +143,50 @@ def test_kd_train_step_runs_and_updates():
     np.testing.assert_allclose(t_new, m * t_old + (1 - m) * s_new, rtol=1e-5, atol=1e-7)
 
 
+def test_kd_train_step_with_distillation_nms():
+    """DISTILLATION_NMS=True compiles into the jit step and yields finite
+    losses; the nms only shrinks kd_valid, so kd losses stay well-formed."""
+    cfg = load_config(None, opts=[
+        "MODEL.MASK_FORMER.HIDDEN_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.MASK_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.CONVS_DIM", "32",
+        "MODEL.MASK_FORMER.NUM_OBJECT_QUERIES", "8",
+        "MODEL.MASK_FORMER.NHEADS", "4",
+        "MODEL.MASK_FORMER.DIM_FEEDFORWARD", "64",
+        "MODEL.MASK_FORMER.DEC_LAYERS", "2",
+        "MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS", "1",
+        "MODEL.MASK_FORMER.TRAIN_NUM_POINTS", "64",
+        "SOLVER.AMP.ENABLED", "False",
+        "MODEL.MASK_FORMER.DISTILLATION_NMS", "True",
+        # low score threshold so some teacher targets survive at random
+        # init and the NMS actually has candidates to suppress
+        "MODEL.MASK_FORMER.SCORE_THRESHOLD_DISTILLATION", "0.1",
+    ])
+    model = _tiny_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    b, t, h, w, n = 1, 2, 32, 32, 3
+    images = jax.random.normal(rng, (b, t, h, w, 3))
+    params = model.init(rng, images)
+    tx = build_optimizer(cfg, params)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        teacher_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=tx.init(params),
+    )
+    masks = jax.random.uniform(jax.random.PRNGKey(1), (b, n, t, h, w)) > 0.7
+    valid = jnp.asarray([[True, True, False]])
+
+    step_fn = jax.jit(make_train_step(model, cfg, tx))
+    new_state, metrics = step_fn(
+        state, images, masks, valid, jax.random.PRNGKey(2)
+    )
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["grad_finite"]) == 1.0
+    assert "kd_loss_mask" in metrics
+
+
 def test_kd_train_step_teacher_model_override():
     """A distinct teacher module (different MSDA unit, same param tree)
     produces the same losses — the TPU trainer swaps in the pallas-kernel
