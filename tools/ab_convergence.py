@@ -386,6 +386,9 @@ def main(argv=None) -> int:
         print(f"[{name}] done: last50 {results[name]['loss_last50']:.4f}  "
               f"val {results[name]['val_naive_loss']:.4f}  "
               f"IoU {results[name]['val_mean_best_iou']:.4f}", flush=True)
+        # persist after EVERY arm: a timeout mid-run keeps finished arms
+        with open(args.out + ".partial", "w") as f:
+            json.dump(results, f, indent=1)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -63,16 +63,26 @@ def main():
         msda = None
     print(f"msda_impl: {msda}", flush=True)
 
-    def build(enc_layers=None):
+    def build(enc_layers=None, dec_layers=None):
         c = cfg
         if enc_layers is not None:
             c = dataclasses.replace(
-                cfg,
+                c,
                 model=dataclasses.replace(
-                    cfg.model,
+                    c.model,
                     sem_seg_head=dataclasses.replace(
-                        cfg.model.sem_seg_head,
+                        c.model.sem_seg_head,
                         transformer_enc_layers=enc_layers,
+                    ),
+                ),
+            )
+        if dec_layers is not None:
+            c = dataclasses.replace(
+                c,
+                model=dataclasses.replace(
+                    c.model,
+                    mask_former=dataclasses.replace(
+                        c.model.mask_former, dec_layers=dec_layers
                     ),
                 ),
             )
@@ -113,8 +123,8 @@ def main():
     print(f"full: {t_full*1e3:.1f} ms  fwd: {t_fwd*1e3:.1f} ms  "
           f"postprocess: {(t_full-t_fwd)*1e3:.1f} ms", flush=True)
 
-    for enc in (0, 3):
-        m2, v2 = build(enc_layers=enc)
+    def time_variant(label, **kw):
+        m2, v2 = build(**kw)
 
         @jax.jit
         def fwd2(variables, images, m2=m2):
@@ -129,7 +139,43 @@ def main():
             return float(out[0][0, 0])
 
         t2 = timed(f2, bar2, args.iters)
-        print(f"fwd enc_layers={enc}: {t2*1e3:.1f} ms", flush=True)
+        print(f"fwd {label}: {t2*1e3:.1f} ms", flush=True)
+        return t2
+
+    for enc in (0, 3):
+        time_variant(f"enc_layers={enc}", enc_layers=enc)
+
+    # decoder-min: dec_layers=1 keeps only the initial prediction head
+    # (zero masked-attn rounds) -> default minus this attributes the
+    # 9-round video transformer decoder
+    time_variant("dec_layers=1", dec_layers=1)
+    time_variant("enc=0,dec=1 (backbone+proj+FPN+mask head)",
+                 enc_layers=0, dec_layers=1)
+
+    # backbone alone, same frames/dtype as the model's internal call
+    from s2d_tpu.models.resnet import ResNet
+
+    compute_dtype = (
+        jnp.bfloat16 if cfg.solver.amp.enabled else jnp.float32
+    )
+    frames_flat = images.reshape(-1, *images.shape[2:]).astype(compute_dtype)
+    bb = ResNet(depth=cfg.model.resnets.depth,
+                out_features=("res2", "res3", "res4", "res5"))
+    bb_vars = jax.jit(bb.init)(rng, frames_flat[:1])
+
+    @jax.jit
+    def bb_fwd(v, x):
+        return bb.apply(v, x)
+
+    def fbb():
+        return bb_fwd(bb_vars, frames_flat)
+
+    def bar_bb(out=None):
+        out = out if out is not None else fbb()
+        return float(out["res5"][0, 0, 0, 0])
+
+    t_bb = timed(fbb, bar_bb, args.iters)
+    print(f"backbone only: {t_bb*1e3:.1f} ms", flush=True)
 
     fps = args.t / t_full
     print(f"frames/s: {fps:.1f}", flush=True)
