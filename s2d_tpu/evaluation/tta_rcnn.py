@@ -105,8 +105,16 @@ def merge_detections(
     `_merge_detections`). Per-class is realized with the coordinate-offset
     trick so one class-agnostic NMS handles all classes."""
     scores = jnp.where(valid, scores, -jnp.inf)
-    span = jnp.max(jnp.where(valid[:, None], boxes, 0.0)) + 1.0
-    shifted = boxes + (classes.astype(boxes.dtype) * span)[:, None]
+    # translate so every coordinate is >= 0 before the class offset:
+    # flipped-aug boxes mapped back through boxes_to_original can carry
+    # negative x (detections clip to the square canvas, not to nw), and a
+    # negative coordinate would dip a class-c clone into class c-1's band.
+    # IoU is translation-invariant, so subtracting the global min is exact.
+    lo = jnp.min(jnp.where(valid[:, None], boxes, jnp.inf))
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    b0 = boxes - lo
+    span = jnp.max(jnp.where(valid[:, None], b0, 0.0)) + 1.0
+    shifted = b0 + (classes.astype(boxes.dtype) * span)[:, None]
     keep = box_nms(shifted, scores, nms_thresh) & valid
     scores = jnp.where(keep, scores, -jnp.inf)
     k = min(topk, scores.shape[0])
@@ -143,7 +151,14 @@ def tta_inference(
     for canvas, meta in zip(canvases, metas):
         b, sc, cl, v = (np.asarray(x) for x in
                         infer_boxes(params, jnp.asarray(canvas)[None]))
-        all_boxes.append(boxes_to_original(b, meta))
+        # clip to the original extent (reference detector_postprocess
+        # clips; flipped variants can otherwise map pad-region overshoot
+        # to negative x)
+        ob = boxes_to_original(b, meta)
+        h0, w0 = img.shape[:2]
+        ob[:, 0::2] = np.clip(ob[:, 0::2], 0.0, float(w0))
+        ob[:, 1::2] = np.clip(ob[:, 1::2], 0.0, float(h0))
+        all_boxes.append(ob)
         all_scores.append(sc)
         all_classes.append(cl)
         all_valid.append(v)

@@ -187,3 +187,24 @@ def test_train_net_cli_tta_e2e(synthetic_coco, tmp_path):
     assert "bbox/AP" in printed
     assert "bbox_TTA/AP" in printed
     assert "segm_TTA/AP" in printed
+
+
+def test_merge_detections_negative_coords_stay_per_class():
+    """A flipped-aug detection mapped back through boxes_to_original can
+    carry negative x; its class-offset clone must not dip into the
+    previous class's coordinate band and suppress an unrelated box."""
+    boxes = jnp.array([
+        [5.0, 5.0, 20.0, 20.0],     # class 0
+        [-20.0, 5.0, 0.0, 20.0],    # class 1, negative x band
+    ])
+    scores = jnp.array([0.6, 0.9])
+    classes = jnp.array([0, 1])
+    valid = jnp.array([True, True])
+    b, s, c, v = merge_detections(
+        boxes, scores, classes, valid, nms_thresh=0.5, topk=2
+    )
+    # different classes never suppress each other, whatever the coords
+    assert bool(v[0]) and bool(v[1])
+    assert sorted(int(x) for x in np.asarray(c)) == [0, 1]
+    np.testing.assert_allclose(sorted(float(x) for x in np.asarray(s)),
+                               [0.6, 0.9], rtol=1e-6)

@@ -14,10 +14,7 @@ run() {
 }
 
 echo "###### queue start $(date -u) ######" >> "$LOG"
-# [1] fused point-loss: on-chip Mosaic gate after the f32-epilogue fix
-run pointloss-gate 1800 python tools/check_point_loss_onchip.py
-# [2] fused point-loss standalone numbers (bf16 + f32)
-run pointloss-bench 1200 python tools/bench_point_loss.py
+# (point-loss legs removed: the fused kernel was measured on-chip, lost, and was deleted — see PERFORMANCE.md round 3)
 # [3] eval composition at the production kernel (pallas_auto)
 run eval-ablate 1800 python tools/bench_eval_ablate.py
 # [4] train step: production CLI defaults (pallas_auto + lattice)

@@ -14,10 +14,7 @@ run() {
 }
 
 echo "###### queue2 start $(date -u) ######" >> "$LOG"
-# [1] fused point-loss gate after the aligned-window fix
-run pointloss-gate2 1800 python tools/check_point_loss_onchip.py
-# [2] fused point-loss standalone numbers
-run pointloss-bench2 1200 python tools/bench_point_loss.py
+# (point-loss legs removed: the fused kernel was measured on-chip, lost, and was deleted — see PERFORMANCE.md round 3)
 # [3] postprocess stage attribution (the 12.5 ms tail)
 run postprocess 1800 python tools/bench_postprocess.py
 # [4] keymask trackers, BOTH backends (VERDICT #8) after the corr-map rewrite
