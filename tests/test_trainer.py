@@ -143,9 +143,11 @@ def test_kd_train_step_runs_and_updates():
     np.testing.assert_allclose(t_new, m * t_old + (1 - m) * s_new, rtol=1e-5, atol=1e-7)
 
 
-def test_kd_train_step_with_distillation_nms():
-    """DISTILLATION_NMS=True compiles into the jit step and yields finite
-    losses; the nms only shrinks kd_valid, so kd losses stay well-formed."""
+def test_kd_train_step_with_distillation_nms_config_loader():
+    """DISTILLATION_NMS=True via the full config-loader opts path (as the
+    CLI sets it) compiles into the jit step and yields finite losses; the
+    nms only shrinks kd_valid, so kd losses stay well-formed. The sibling
+    test below exercises the same flag via direct dataclass mutation."""
     cfg = load_config(None, opts=[
         "MODEL.MASK_FORMER.HIDDEN_DIM", "32",
         "MODEL.SEM_SEG_HEAD.MASK_DIM", "32",

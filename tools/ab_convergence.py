@@ -32,6 +32,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import pickle
 import sys
 import time
 
@@ -243,6 +244,13 @@ def main(argv=None) -> int:
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", default="/tmp/ab_convergence.json")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip arms already finished in <out>.partial "
+                        "and continue interrupted arms from <out>.<arm>."
+                        "ckpt (round-3 lost ~6h of full-scale runs to "
+                        "timeouts erasing all intra-arm progress)")
+    parser.add_argument("--ckpt-every", type=int, default=25,
+                        help="persist per-arm train state every N steps")
     args = parser.parse_args(argv)
     preset = SCALES[args.scale]
     if args.num_points is None:
@@ -348,8 +356,30 @@ def main(argv=None) -> int:
             ti.append(float(viou))
         return float(np.mean(tl)), float(np.mean(ti))
 
+    def save_ckpt(path, step, params, opt_state, rs, traj, t_spent):
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump({
+                "step": step,
+                "params": jax.device_get(params),
+                "opt_state": jax.device_get(opt_state),
+                "rs_state": rs.get_state(),
+                "traj": traj,
+                "seconds": t_spent,
+            }, f)
+        os.replace(tmp, path)
+
     results = {}
+    if args.resume and os.path.exists(args.out + ".partial"):
+        with open(args.out + ".partial") as f:
+            results = json.load(f)
+        print(f"[resume] loaded finished arms: {sorted(results)}", flush=True)
+
     for name in args.arms.split(","):
+        if args.resume and name in results:
+            print(f"[{name}] already finished, skipping", flush=True)
+            continue
+        ckpt_path = f"{args.out}.{name}.ckpt"
         cfg, step_fn = build_arm(name)
         params = model.init(
             jax.random.PRNGKey(args.seed),
@@ -359,8 +389,22 @@ def main(argv=None) -> int:
         opt_state = tx.init(params)
         rs = np.random.RandomState(args.seed)  # same stream for every arm
         traj = []
+        start_step, t_prev = 0, 0.0
+        if args.resume and os.path.exists(ckpt_path):
+            with open(ckpt_path, "rb") as f:
+                ck = pickle.load(f)
+            # restore onto the freshly-built pytrees so structure (incl.
+            # optax namedtuple types) comes from code, arrays from disk
+            params = jax.tree_util.tree_map(
+                lambda _, v: jnp.asarray(v), params, ck["params"])
+            opt_state = jax.tree_util.tree_map(
+                lambda _, v: jnp.asarray(v), opt_state, ck["opt_state"])
+            rs.set_state(ck["rs_state"])
+            traj = list(ck["traj"])
+            start_step, t_prev = ck["step"], ck["seconds"]
+            print(f"[{name}] resumed from step {start_step}", flush=True)
         t0 = time.time()
-        for step in range(args.steps):
+        for step in range(start_step, args.steps):
             images, masks, valid = make_batch(rs, **bshape)
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), step)
             (total, _losses), grads = step_fn(
@@ -372,6 +416,10 @@ def main(argv=None) -> int:
             if step % 50 == 0:
                 print(f"[{name}] step {step}: loss {float(total):.4f}",
                       flush=True)
+            if args.ckpt_every and (step + 1) % args.ckpt_every == 0:
+                save_ckpt(ckpt_path, step + 1, params, opt_state, rs, traj,
+                          t_prev + time.time() - t0)
+        t0 -= t_prev  # fold resumed time into the reported total
         vloss, viou = validate_all(params)
         results[name] = {
             "loss_first50": float(np.mean(traj[:50])),
@@ -387,8 +435,12 @@ def main(argv=None) -> int:
               f"val {results[name]['val_naive_loss']:.4f}  "
               f"IoU {results[name]['val_mean_best_iou']:.4f}", flush=True)
         # persist after EVERY arm: a timeout mid-run keeps finished arms
-        with open(args.out + ".partial", "w") as f:
+        tmp = args.out + ".partial.tmp"
+        with open(tmp, "w") as f:
             json.dump(results, f, indent=1)
+        os.replace(tmp, args.out + ".partial")
+        if os.path.exists(ckpt_path):
+            os.remove(ckpt_path)  # finished arms live in .partial now
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
