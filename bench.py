@@ -31,6 +31,11 @@ import time
 # "Baseline denominator grounding" for the sensitivity analysis.
 ESTIMATED_A100_FPS = 25.0
 
+# v5e (TPU v5 lite) peak dense bf16 matmul throughput per chip. Used for
+# the MFU field: measured forward FLOP/s divided by this peak says how much
+# chip headroom remains (VERDICT r3 weak #6).
+V5E_PEAK_BF16_FLOPS = 197e12
+
 T = 8  # frames per clip forward
 IN_H, IN_W = 360, 640
 OUT_H, OUT_W = 720, 1280
@@ -199,7 +204,79 @@ def inner():
     extra = {"backend": jax.default_backend()}
     if pack_fallback:
         extra["pack_fallback"] = True
+
+    # MFU: XLA's own cost analysis of the compiled model forward (the same
+    # executable the loop above ran) divided by the v5e bf16 peak. The
+    # postprocess adds <1 GFLOP and is excluded; this is model-forward MFU.
+    try:
+        cost = forward.lower(variables, images).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0] if cost else {}
+        flops_per_clip = float(cost.get("flops", 0.0))
+        if flops_per_clip > 0:
+            extra["gflop_per_frame"] = round(flops_per_clip / T / 1e9, 1)
+            if on_tpu:
+                mfu = (flops_per_clip * iters / elapsed) / V5E_PEAK_BF16_FLOPS
+                extra["mfu_vs_v5e_peak"] = round(mfu, 4)
+    except Exception:
+        pass  # cost analysis is informational; never lose the round's number
+
     emit(round(fps, 2), round(fps / ESTIMATED_A100_FPS, 3), **extra)
+
+
+def last_committed_round_value():
+    """(round_tag, frames/s) from the newest BENCH_r*.json with a real
+    (>0, tpu-backend) measurement, or (None, None). The regression gate
+    compares against this so a silent throughput regression is flagged in
+    the output instead of discovered by accident (VERDICT r3 weak #5)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = (None, None)
+    best_n = -1
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+            value = float(parsed.get("value", 0.0))
+        except Exception:
+            continue
+        if value > 0 and parsed.get("backend") == "tpu" and int(m.group(1)) > best_n:
+            best_n = int(m.group(1))
+            best = (f"r{best_n:02d}", value)
+    return best
+
+
+REGRESSION_THRESHOLD = 0.05  # flag drops >5% vs the last committed round
+
+
+def apply_regression_gate(result):
+    """Annotate the result dict with the gate verdict; stderr gets a
+    human-readable PASS/REGRESSED line (stdout stays one JSON line)."""
+    prev_tag, prev_value = last_committed_round_value()
+    if prev_value is None:
+        return result
+    value = float(result.get("value", 0.0))
+    result["prev_round"] = prev_tag
+    result["prev_value"] = prev_value
+    if value < (1.0 - REGRESSION_THRESHOLD) * prev_value:
+        result["gate"] = "REGRESSED"
+        print(
+            f"GATE REGRESSED: {value} frames/s < 95% of {prev_tag}'s "
+            f"{prev_value} frames/s",
+            file=sys.stderr,
+        )
+    else:
+        result["gate"] = "PASS"
+        print(
+            f"GATE PASS: {value} frames/s vs {prev_tag}'s {prev_value} frames/s",
+            file=sys.stderr,
+        )
+    return result
 
 
 def main():
@@ -211,6 +288,8 @@ def main():
     if result is None:
         emit(0.0, 0.0, error=f"bench failed: {err}", probe=detail)
         return
+    if result.get("backend") == "tpu":
+        result = apply_regression_gate(result)
     print(json.dumps(result))
 
 
