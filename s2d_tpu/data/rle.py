@@ -64,7 +64,13 @@ def counts_to_mask(counts: Sequence[int], h: int, w: int) -> np.ndarray:
 
 
 def counts_to_string(counts: Sequence[int]) -> str:
-    """COCO compressed counts encoding (difference + signed base-32 varint)."""
+    """COCO compressed counts encoding (difference + signed base-32 varint).
+
+    Hot path of results.json writing (one call per prediction-frame); the
+    native encoder does it in C, this Python loop is the fallback."""
+    native = _native.counts_to_string(np.asarray(counts, np.int64))
+    if native is not None:
+        return native
     out = []
     counts = list(counts)
     for i, x in enumerate(counts):
@@ -82,6 +88,9 @@ def counts_to_string(counts: Sequence[int]) -> str:
 
 
 def string_to_counts(s: Union[str, bytes]) -> List[int]:
+    native = _native.string_to_counts(s)
+    if native is not None:
+        return native.tolist()
     if isinstance(s, bytes):
         s = s.decode("ascii")
     counts: List[int] = []

@@ -9,7 +9,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -23,22 +23,39 @@ _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 
+def _build(target: str) -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", target,
+             os.path.join(_DIR, "rle_ops.cpp")],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def lib() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO,
-                 os.path.join(_DIR, "rle_ops.cpp")],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception:
-            return None
+    if not os.path.exists(_SO) and not _build(_SO):
+        return None
     try:
         cdll = ctypes.CDLL(_SO)
+        if not hasattr(cdll, "rle_string_to_counts"):
+            # stale binary from an older source revision: rebuild and load
+            # under a unique path (dlopen returns the cached handle for an
+            # already-loaded pathname), then move it over the stale file so
+            # the NEXT process loads the fresh build directly
+            fresh = f"{_SO}.{os.getpid()}"
+            if not _build(fresh):
+                return None
+            cdll = ctypes.CDLL(fresh)
+            os.replace(fresh, _SO)
+            if not hasattr(cdll, "rle_string_to_counts"):
+                return None
         cdll.rle_encode.restype = ctypes.c_int64
         cdll.rle_encode.argtypes = [_u8p, ctypes.c_int64, _i64p, ctypes.c_int64]
         cdll.rle_decode.restype = None
@@ -51,6 +68,14 @@ def lib() -> Optional[ctypes.CDLL]:
         cdll.track_iou_matrix.argtypes = [
             _i64p, _i64p, _i64p, _i64p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _f64p,
+        ]
+        cdll.rle_counts_to_string.restype = ctypes.c_int64
+        cdll.rle_counts_to_string.argtypes = [
+            _i64p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        cdll.rle_string_to_counts.restype = ctypes.c_int64
+        cdll.rle_string_to_counts.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, _i64p, ctypes.c_int64,
         ]
         _LIB = cdll
     except Exception:
@@ -82,6 +107,36 @@ def decode_counts(counts: np.ndarray, h: int, w: int) -> Optional[np.ndarray]:
     flat = np.empty(h * w, np.uint8)
     cdll.rle_decode(counts, counts.size, flat, flat.size)
     return flat.reshape(h, w, order="F").astype(bool)
+
+
+def counts_to_string(counts: np.ndarray) -> Optional[str]:
+    """Run counts -> COCO compressed-counts string (None if no lib)."""
+    cdll = lib()
+    if cdll is None or not hasattr(cdll, "rle_counts_to_string"):
+        return None
+    counts = np.ascontiguousarray(np.asarray(counts, np.int64))
+    # worst case: 13 chars per count (int64 varint, 5 bits/char)
+    cap = 13 * max(counts.size, 1) + 1
+    buf = ctypes.create_string_buffer(cap)
+    n = cdll.rle_counts_to_string(counts, counts.size, buf, cap)
+    if n < 0:
+        return None
+    return buf.raw[:n].decode("ascii")
+
+
+def string_to_counts(s: Union[str, bytes]) -> Optional[np.ndarray]:
+    """COCO compressed-counts string -> run counts (None if no lib or
+    malformed/truncated input — callers fall back to the Python parser)."""
+    cdll = lib()
+    if cdll is None or not hasattr(cdll, "rle_string_to_counts"):
+        return None
+    raw = s.encode("ascii") if isinstance(s, str) else bytes(s)
+    cap = len(raw) + 1  # every count takes >= 1 char
+    out = np.empty(cap, np.int64)
+    m = cdll.rle_string_to_counts(raw, len(raw), out, cap)
+    if m < 0:
+        return None
+    return out[:m].copy()
 
 
 def _pack_tracks(tracks: Sequence[Sequence[Optional[np.ndarray]]]):

@@ -83,6 +83,60 @@ int64_t rle_intersection(const int64_t* a, int64_t ka, const int64_t* b, int64_t
     return inter;
 }
 
+// COCO compressed-counts string codec: chars '0'..'o' carry 5 value bits +
+// 1 continuation bit (value = char - 48), least-significant group first,
+// sign-extended from bit 4 of the last group; counts are difference-coded
+// from the 3rd element on (pycocotools rleToString/rleFrString semantics,
+// reimplemented from the format spec in s2d_tpu/data/rle.py). This is the
+// per-frame hot path of results.json writing and annotation parsing — the
+// Python loop is per-character.
+//
+// Returns chars written (<= cap), or -1 if cap is too small.
+int64_t rle_counts_to_string(const int64_t* counts, int64_t k, char* out,
+                             int64_t cap) {
+    int64_t n = 0;
+    for (int64_t i = 0; i < k; ++i) {
+        int64_t x = counts[i];
+        if (i > 2) x -= counts[i - 2];
+        bool more = true;
+        while (more) {
+            int64_t c = x & 0x1F;
+            x >>= 5;  // arithmetic shift: sign-propagates for negatives
+            more = (c & 0x10) ? (x != -1) : (x != 0);
+            if (more) c |= 0x20;
+            if (n >= cap) return -1;
+            out[n++] = (char)(c + 48);
+        }
+    }
+    return n;
+}
+
+// Inverse of rle_counts_to_string. Returns counts written (<= cap), or -1
+// on a truncated string / cap overflow.
+int64_t rle_string_to_counts(const char* s, int64_t n, int64_t* counts,
+                             int64_t cap) {
+    int64_t m = 0, i = 0;
+    while (i < n) {
+        int64_t x = 0;
+        int64_t k = 0;
+        for (;;) {
+            if (i >= n) return -1;
+            int64_t c = (int64_t)(unsigned char)s[i] - 48;
+            x |= (c & 0x1F) << (5 * k);
+            ++i;
+            ++k;
+            if (!(c & 0x20)) {
+                if (c & 0x10) x |= -(int64_t)1 << (5 * k);
+                break;
+            }
+        }
+        if (m > 2) x += counts[m - 2];
+        if (m >= cap) return -1;
+        counts[m++] = x;
+    }
+    return m;
+}
+
 // Batched pairwise track IoU between D detection tracks and G ground-truth
 // tracks, each a sequence of T per-frame run lists (ragged, CSR-style):
 //   counts:  all runs concatenated

@@ -35,6 +35,51 @@ def _host_cpu_fingerprint() -> str:
     return "unknown"
 
 
+def maybe_init_distributed() -> bool:
+    """Multi-HOST bring-up: call ``jax.distributed.initialize`` so every
+    process sees the GLOBAL device set and `jax.process_count()/index()`
+    reflect the pod, not just this host (the reference's multi-machine
+    launch, `/root/reference/model_training/mask2former_video/engine/
+    defaults.py:123-147` + `train_net_video.py:437-444`, is torch
+    `init_process_group`; on TPU the coordination service replaces it).
+
+    Must run BEFORE the first backend touch (any jax.devices()/jit call).
+    Gating (off by default — single-host jobs must not block on a
+    coordinator):
+
+      * ``S2D_MULTIHOST=1`` alone: TPU-pod auto-detection (the TPU
+        metadata env carries coordinator/worker-id; jax fills all args).
+      * ``S2D_COORDINATOR=host:port`` + ``S2D_NUM_PROCESSES`` +
+        ``S2D_PROCESS_ID``: explicit bring-up, e.g. CPU/GPU clusters or
+        the 2-process localhost smoke (tests/test_multihost.py — gloo
+        backs cross-process CPU collectives in this jax build).
+
+    Launch procedure (one process per host, same command on each):
+      S2D_MULTIHOST=1 python tools/train_net_video.py --config ...   # pod
+      S2D_MULTIHOST=1 S2D_COORDINATOR=host0:8476 S2D_NUM_PROCESSES=4 \\
+        S2D_PROCESS_ID=$RANK python tools/train_net_video.py ...     # other
+
+    Returns True iff initialize() was called.
+    """
+    import os
+
+    if os.environ.get("S2D_MULTIHOST", "0") != "1":
+        return False
+    kwargs = {}
+    coord = os.environ.get("S2D_COORDINATOR")
+    if coord:
+        kwargs = dict(
+            coordinator_address=coord,
+            num_processes=int(os.environ["S2D_NUM_PROCESSES"]),
+            process_id=int(os.environ["S2D_PROCESS_ID"]),
+        )
+        ids = os.environ.get("S2D_LOCAL_DEVICE_IDS")
+        if ids:
+            kwargs["local_device_ids"] = [int(x) for x in ids.split(",")]
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
 def setup_runtime(cache_path: str = "/tmp/jax_cache") -> None:
     """Entry-point runtime setup for every CLI.
 
@@ -45,8 +90,12 @@ def setup_runtime(cache_path: str = "/tmp/jax_cache") -> None:
     """
     import os
 
-    if os.environ.get("S2D_PLATFORM", "").lower() == "cpu":
-        force_cpu()
+    on_cpu = os.environ.get("S2D_PLATFORM", "").lower() == "cpu"
+    if on_cpu:
+        force_cpu()  # platform choice must precede distributed init
+    maybe_init_distributed()
+
+    if on_cpu:
         try:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -42,6 +42,28 @@ def test_string_codec_golden():
     assert rle.string_to_counts(rle.counts_to_string(counts3)) == counts3
 
 
+def test_string_codec_native_matches_python(monkeypatch):
+    """The C codec (native/rle_ops.cpp) and the pure-Python fallback in
+    data/rle.py must be byte-identical both directions, including negative
+    difference codes and multi-char varints."""
+    from s2d_tpu import native
+
+    rng = np.random.RandomState(7)
+    cases = [list(rng.randint(0, hi, size=n))
+             for hi, n in [(5, 1), (50, 17), (10**6, 64), (2, 33)]]
+    cases.append([0, 999999, 1, 1000000, 2])  # big alternating diffs
+    for counts in cases:
+        s_nat = rle.counts_to_string(counts)
+        assert native.counts_to_string(np.asarray(counts)) == s_nat
+        monkeypatch.setattr(native, "counts_to_string", lambda c: None)
+        monkeypatch.setattr(native, "string_to_counts", lambda s: None)
+        s_py = rle.counts_to_string(counts)
+        assert s_py == s_nat
+        assert rle.string_to_counts(s_nat) == counts  # python parser
+        monkeypatch.undo()
+        assert rle.string_to_counts(s_py) == counts  # native parser
+
+
 def test_area_and_bbox():
     mask = np.zeros((10, 12), bool)
     mask[2:5, 3:9] = True

@@ -110,6 +110,8 @@ def main():
                                model_short=model_short)
     dt = time.perf_counter() - start
     frames = args.videos * args.t
+    stages = {k.split("/", 1)[1]: v for k, v in metrics.items()
+              if k.startswith("stage_s/")}
     print(json.dumps({
         "videos": args.videos, "t": args.t, "hw": args.hw,
         "wall_s": round(dt, 2),
@@ -117,7 +119,17 @@ def main():
         "e2e_frames_per_s": round(frames / dt, 2),
         "pack_masks": os.environ.get("S2D_PACK_MASKS", "1") != "0",
         "ap": metrics.get("AP"),
+        "stage_s": stages,
     }))
+    # per-stage attribution (VERDICT r3 #2): stages live on three threads
+    # (prefetch / main / finalize) and overlap, so they sum past the wall;
+    # the critical path is whichever thread's column nears wall_s
+    if stages:
+        total = sum(stages.values())
+        print("stage attribution (s, threads overlap):", file=sys.stderr)
+        for k, v in sorted(stages.items(), key=lambda kv: -kv[1]):
+            print(f"  {k:22s} {v:8.2f}  ({100*v/max(total,1e-9):4.1f}% of stage-sum)",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":
