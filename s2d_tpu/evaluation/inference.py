@@ -166,10 +166,20 @@ def _postprocess_video_jit(
             "scores": top_scores, "labels": labels,
             "masks": masks, "keep": keep,
         }
+    # Keep-compaction for transport: store the packed masks KEPT-FIRST
+    # (stable sort, so within the kept group the score order survives) and
+    # ship the permutation. The host reads `keep` (tiny), then slices the
+    # device array to the ~n_keep surviving rows before the transfer —
+    # on the TPU tunnel the full-P mask buffer is the dominant
+    # device->host leg, and typically only 10-20 of 50 predictions
+    # survive NMS. `keep` stays in ORIGINAL prediction order; consumers
+    # that want original-order masks invert via `order`.
+    order = jnp.argsort(jnp.logical_not(keep), stable=True)
     return {
         "scores": top_scores,
         "labels": labels,
-        "masks": pack_mask_bits(masks),
+        "masks": pack_mask_bits(masks)[order],
+        "order": order.astype(jnp.int32),
         "mask_height": jnp.int32(masks.shape[-2]),
         "keep": keep,
     }
@@ -222,7 +232,52 @@ def unpack_masks(device_out: Dict[str, jnp.ndarray]) -> np.ndarray:
     elif masks.dtype == np.uint8 and "mask_width" in device_out:
         width = int(device_out["mask_width"])
         masks = np.unpackbits(masks, axis=-1).view(np.bool_)[..., :width]
+    if "order" in device_out and masks.shape[0] == np.asarray(
+        device_out["order"]
+    ).shape[0]:
+        # kept-first storage layout -> original prediction order
+        order = np.asarray(device_out["order"])
+        restored = np.empty_like(masks)
+        restored[order] = masks
+        masks = restored
     return masks
+
+
+def read_kept_masks(
+    device_out: Dict[str, jnp.ndarray],
+    keep: np.ndarray,
+    timers: Dict[str, float] | None = None,
+) -> np.ndarray:
+    """Transfer + unpack only the NMS survivors, bool (n_keep, T, H, W) in
+    original (score-sorted) prediction order.
+
+    With the kept-first layout ("order" present) this slices the DEVICE
+    array before the transfer, so the device->host leg carries ~n_keep/P
+    of the packed buffer. The slice length is rounded up to a multiple of
+    8 so the transfer program cache sees at most P/8 shapes.
+
+    timers: optional dict accumulating "readback_masks" / "unpack" stage
+    seconds (the evaluator's attribution table)."""
+    import time
+
+    masks = device_out["masks"]
+    t0 = time.perf_counter()
+    if "order" in device_out and not isinstance(masks, np.ndarray):
+        n = int(keep.sum())
+        n_pad = min(keep.size, -(-n // 8) * 8)
+        packed = np.asarray(masks[:n_pad])[:n]
+        t1 = time.perf_counter()
+        out = unpack_masks(
+            {"masks": packed, "mask_height": device_out["mask_height"]}
+        )
+    else:
+        packed = np.asarray(masks)
+        t1 = time.perf_counter()
+        out = unpack_masks({**device_out, "masks": packed})[keep]
+    if timers is not None:
+        timers["readback_masks"] += t1 - t0
+        timers["unpack"] += time.perf_counter() - t1
+    return out
 
 
 def finalize_predictions(device_out: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
@@ -231,5 +286,5 @@ def finalize_predictions(device_out: Dict[str, jnp.ndarray]) -> Dict[str, np.nda
     return {
         "scores": np.asarray(device_out["scores"])[keep],
         "labels": np.asarray(device_out["labels"])[keep],
-        "masks": unpack_masks(device_out)[keep],
+        "masks": read_kept_masks(device_out, keep),
     }
