@@ -153,7 +153,7 @@ def evaluate_dataset(
     #    runs on a finalize thread while video i+1's forward is enqueued
     #    (jax dispatch is async; the bounded queue caps retained HBM).
     from ..data.loader import FinalizeThread, _prefetch
-    from .inference import read_kept_masks
+    from .inference import read_kept_masks, read_small_bundle
 
     # Per-stage wall attribution (VERDICT r3 #2): seconds spent in each
     # stage, keyed by which thread pays them. Stages on different threads
@@ -189,11 +189,8 @@ def evaluate_dataset(
         # layout + `order`, see inference.read_kept_masks) so the big
         # device->host leg carries ~n_keep/P of the packed buffer
         t0 = time.perf_counter()
-        keep = np.asarray(device_out["keep"])
-        preds = {
-            "scores": np.asarray(device_out["scores"])[keep],
-            "labels": np.asarray(device_out["labels"])[keep],
-        }
+        scores, labels, keep = read_small_bundle(device_out)
+        preds = {"scores": scores[keep], "labels": labels[keep]}
         t1 = time.perf_counter()
         preds["masks"] = read_kept_masks(device_out, keep, timers=stage)
         t3 = time.perf_counter()

@@ -53,9 +53,15 @@ def postprocess_video(
     resolved inside the traced body would be baked into the jit cache)."""
     if pack_bits is None:
         pack_bits = os.environ.get("S2D_PACK_MASKS", "1") != "0"
-    return _postprocess_video_jit(
+    out = dict(_postprocess_video_jit(
         pred_logits, pred_masks, pack_bits=pack_bits, **kwargs
-    )
+    ))
+    if pack_bits:
+        # static at trace time — a plain int spares consumers a per-video
+        # device round-trip (each D2H call costs ~0.7 s of fixed latency
+        # on the TPU tunnel, see PERFORMANCE.md transport attribution)
+        out["mask_height"] = int(kwargs["output_size"][0])
+    return out
 
 
 @functools.partial(
@@ -180,8 +186,16 @@ def _postprocess_video_jit(
         "labels": labels,
         "masks": pack_mask_bits(masks)[order],
         "order": order.astype(jnp.int32),
-        "mask_height": jnp.int32(masks.shape[-2]),
         "keep": keep,
+        # every per-prediction scalar in ONE array: the host reads the
+        # whole bundle in a single D2H call (which also serves as the
+        # device-completion barrier) instead of 4 separate round-trips
+        "small": jnp.concatenate([
+            top_scores.astype(jnp.float32),
+            labels.astype(jnp.float32),
+            keep.astype(jnp.float32),
+            order.astype(jnp.float32),
+        ]),
     }
 
 
@@ -280,11 +294,31 @@ def read_kept_masks(
     return out
 
 
+def read_small_bundle(
+    device_out: Dict[str, jnp.ndarray]
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(scores f32, labels int, keep bool) in ONE device round-trip when
+    the packed "small" bundle is present, else three separate reads."""
+    if "small" in device_out:
+        small = np.asarray(device_out["small"])
+        p = small.size // 4
+        return (
+            small[:p],
+            small[p: 2 * p].astype(np.int64),
+            small[2 * p: 3 * p] > 0.5,
+        )
+    return (
+        np.asarray(device_out["scores"]),
+        np.asarray(device_out["labels"]),
+        np.asarray(device_out["keep"]),
+    )
+
+
 def finalize_predictions(device_out: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
     """Apply the NMS keep-mask host-side and return numpy predictions."""
-    keep = np.asarray(device_out["keep"])
+    scores, labels, keep = read_small_bundle(device_out)
     return {
-        "scores": np.asarray(device_out["scores"])[keep],
-        "labels": np.asarray(device_out["labels"])[keep],
+        "scores": scores[keep],
+        "labels": labels[keep],
         "masks": read_kept_masks(device_out, keep),
     }
