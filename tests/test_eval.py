@@ -194,3 +194,57 @@ def test_pack_masks_env_flip_takes_effect(monkeypatch):
     monkeypatch.setenv("S2D_PACK_MASKS", "0")
     plain = postprocess_video(logits, masks, **kwargs)
     assert np.asarray(plain["masks"]).dtype == np.bool_
+
+
+def test_keep_compaction_roundtrips():
+    """Kept-first packed layout: the sliced-transfer path, the full-buffer
+    inverse-permutation path, and the small bundle must all reproduce the
+    plain path — including the no-survivors edge (keep all-False)."""
+    import jax.numpy as jnp
+
+    from s2d_tpu.evaluation.inference import (
+        finalize_predictions,
+        read_kept_masks,
+        read_small_bundle,
+        unpack_masks,
+    )
+
+    rng = np.random.default_rng(11)
+    q, k, t, h4, w4 = 6, 2, 2, 4, 6
+    logits = jnp.asarray(rng.normal(size=(q, k + 1)), jnp.float32)
+    masks = jnp.asarray(rng.normal(size=(q * k, t, h4, w4))[:q], jnp.float32)
+    kwargs = dict(
+        num_predictions=q, num_classes=k,
+        image_size=(h4 * 4, w4 * 4), output_size=(16, 24),
+        use_nms=True, nms_thresh=0.3, compute_dtype=jnp.float32,
+    )
+    from s2d_tpu.evaluation.inference import postprocess_video
+
+    dev = postprocess_video(logits, masks, pack_bits=True, **kwargs)
+    plain = postprocess_video(logits, masks, pack_bits=False, **kwargs)
+    keep = np.asarray(dev["keep"])
+    assert 0 < keep.sum() < q  # NMS at 0.3 drops some but not all
+
+    # small bundle == individual reads
+    scores, labels, kb = read_small_bundle(dev)
+    np.testing.assert_array_equal(scores, np.asarray(dev["scores"]))
+    np.testing.assert_array_equal(labels, np.asarray(dev["labels"]))
+    np.testing.assert_array_equal(kb, keep)
+
+    # sliced transfer == plain masks filtered
+    want = np.asarray(plain["masks"])[keep]
+    np.testing.assert_array_equal(read_kept_masks(dev, keep), want)
+    # full-buffer unpack inverts the kept-first permutation
+    np.testing.assert_array_equal(unpack_masks(dev), np.asarray(plain["masks"]))
+    fin = finalize_predictions(dev)
+    np.testing.assert_array_equal(fin["masks"], want)
+
+    # no survivors: finalize yields empty arrays, not a crash
+    none = dict(dev)
+    none["keep"] = jnp.zeros((q,), bool)
+    p = np.asarray(none["small"]).size // 4
+    small = np.asarray(none["small"]).copy()
+    small[2 * p: 3 * p] = 0.0
+    none["small"] = jnp.asarray(small)
+    fin0 = finalize_predictions(none)
+    assert fin0["masks"].shape[0] == 0 and fin0["scores"].size == 0
