@@ -105,12 +105,16 @@ class MaskFormerConfig:
     matcher_num_points: int = 0
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75
-    # criterion point-pool construction: "lattice" (random-phase jittered
-    # lattice, sampled by dense slice blends — see ops/lattice.py; the
-    # production default: 22% faster full KD step, and 3-seed convergence
-    # A/B puts it within seed noise of iid — AB_CONVERGENCE.md) or "iid"
-    # (the reference's uniform draws, sampled by gathers)
-    point_sampling: str = "lattice"
+    # criterion point-pool construction: "iid" (the reference's uniform
+    # draws, sampled by gathers — criterion.py:292, point_features.py:63)
+    # or "lattice" (random-phase jittered lattice, sampled by dense slice
+    # blends — see ops/lattice.py; ~22% faster full KD step). Default is
+    # iid: the round-4 FULL-SCALE convergence A/B (AB_CONVERGENCE.md
+    # "Full scale", 150 steps, 100-query/10-layer/160K-point) has iid
+    # beating lattice on both held-out yardsticks at seed 0 (val 43.9 vs
+    # 52.7, IoU 0.876 vs 0.840) — lattice stays an opt-in speed lever
+    # until it shows a clear quality win.
+    point_sampling: str = "iid"
     loss_strategy: str = "masks-only"  # temporal DropLoss on empty frames
     distillation_loss_strategy: str = "masks-only"
     # KD / distillation
