@@ -131,12 +131,26 @@ def evaluate_dataset(
 
     results: List[dict] = []
     gt_annotations: List[dict] = []
+
     # jit is essential: un-jitted apply dispatches per-op over the device
     # transport (recompiles per unique (T, H, W) — the compile cache
-    # amortizes across the few shape buckets a dataset has)
-    apply_jit = jax.jit(model.apply)
+    # amortizes across the few shape buckets a dataset has). The uint8
+    # normalize/pad preprocess is FUSED into the same jit so each video
+    # costs ONE host->device upload (uint8 frames) + ONE dispatch instead
+    # of ~6 eager-op dispatches (round-4 e2e attribution: the eager
+    # preprocess chain dominated the main thread on the TPU tunnel).
+    def _make_fwd(m):
+        def f(variables, frames_u8, frame_valid):
+            images, _ = preprocess_clip(
+                frames_u8, cfg.model.pixel_mean, cfg.model.pixel_std,
+                cfg.model.mask_former.size_divisibility,
+            )
+            return m.apply(variables, images, frame_valid=frame_valid)
+        return jax.jit(f)
+
+    apply_jit = _make_fwd(model)
     apply_jit_short = (
-        jax.jit(model_short.apply) if model_short is not None else apply_jit
+        _make_fwd(model_short) if model_short is not None else apply_jit
     )
     if time_mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -178,8 +192,37 @@ def evaluate_dataset(
         for r in dicts:
             t0 = time.perf_counter()
             s = mapper(r)
+            frames = np.asarray(s["image"])  # (T, H, W, 3) uint8 at eval
+            t, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+            # T-bucketing: zero-pad the clip to a multiple of 8 frames and
+            # mask the pad keys out of the decoder — one compile per
+            # (bucket, H, W) instead of one per distinct video length
+            # (server-side compiles cost tens of minutes on this
+            # transport). Host-side uint8 memcpy; normalize/HW-pad happen
+            # inside the fwd jit.
+            pad_t = -t % 8
+            if pad_t:
+                frames = np.pad(frames, ((0, pad_t), (0, 0), (0, 0), (0, 0)))
+            frame_valid = np.arange(t + pad_t) < t
+            # start the host->device upload HERE, on the prefetch thread:
+            # device_put is async, so video i+1's frames ride the tunnel
+            # while the main thread dispatches video i and the device
+            # computes (round-4 e2e attribution: the upload leg was the
+            # biggest main-thread term after the fused-preprocess change)
+            if time_mesh is not None and (t + pad_t) % time_mesh.shape["data"] == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                frames_dev = jax.device_put(
+                    frames, NamedSharding(time_mesh, P("data"))
+                )
+                valid_dev = jax.device_put(
+                    frame_valid, NamedSharding(time_mesh, P("data"))
+                )
+            else:
+                frames_dev = jax.device_put(frames)
+                valid_dev = jax.device_put(frame_valid)
             stage["decode_map"] += time.perf_counter() - t0
-            yield r, s
+            yield r, (frames_dev, valid_dev, t, h, w)
 
     mapped = _prefetch(timed_map(), depth=2)
 
@@ -202,37 +245,14 @@ def evaluate_dataset(
     fin = FinalizeThread(finalize, depth=2)
 
     start = time.perf_counter()
-    for record, sample in mapped:
+    for record, (frames, frame_valid, t, h, w) in mapped:
         t_disp = time.perf_counter()
-        images, (h, w) = preprocess_clip(
-            sample["image"], cfg.model.pixel_mean, cfg.model.pixel_std,
-            cfg.model.mask_former.size_divisibility,
-        )
-        # T-bucketing: zero-pad the clip to a multiple of 8 frames and mask
-        # the pad keys out of the decoder — one compile per (bucket, H, W)
-        # instead of one per distinct video length (server-side compiles
-        # cost tens of minutes on this transport)
-        t = images.shape[1]
-        pad_t = -t % 8
-        if pad_t:
-            images = jnp.pad(images, ((0, 0), (0, pad_t), (0, 0), (0, 0), (0, 0)))
-        frame_valid = jnp.arange(t + pad_t) < t
-        fwd = apply_jit_short if t + pad_t <= 64 else apply_jit
-        if time_mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            n_t = time_mesh.shape["data"]
-            if (t + pad_t) % n_t == 0:
-                images = jax.device_put(
-                    images, NamedSharding(time_mesh, P(None, "data"))
-                )
-                frame_valid = jax.device_put(
-                    frame_valid, NamedSharding(time_mesh, P("data"))
-                )
-        out = fwd(variables, images, frame_valid=frame_valid)
+        fwd = apply_jit_short if frames.shape[0] <= 64 else apply_jit
+        out = fwd(variables, frames, frame_valid)
         device_out = postprocess_video(
-            out["pred_logits"][0],
-            out["pred_masks"][0, :, :t],
+            out["pred_logits"],
+            out["pred_masks"],
+            num_frames=t,
             num_predictions=tcfg.num_predictions,
             num_classes=cfg.model.sem_seg_head.num_classes,
             image_size=(h, w),

@@ -67,6 +67,7 @@ def postprocess_video(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "num_frames",
         "num_predictions",
         "num_classes",
         "image_size",
@@ -78,9 +79,10 @@ def postprocess_video(
     ),
 )
 def _postprocess_video_jit(
-    pred_logits: jnp.ndarray,  # (Q, K+1)
-    pred_masks: jnp.ndarray,  # (Q, T, H/4, W/4) mask logits
+    pred_logits: jnp.ndarray,  # (Q, K+1), or (1, Q, K+1)
+    pred_masks: jnp.ndarray,  # (Q, T, H/4, W/4) mask logits, or batched
     *,
+    num_frames: int | None = None,
     num_predictions: int,
     num_classes: int,
     image_size: Tuple[int, int],  # unpadded network input size
@@ -100,6 +102,15 @@ def _postprocess_video_jit(
         compute_dtype = (
             jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         )
+    # accept the model's batched (1, ...) outputs and the T-bucket pad so
+    # the batch-strip and un-pad slices trace here instead of costing two
+    # eager dispatches per video on the TPU tunnel
+    if pred_logits.ndim == 3:
+        pred_logits = pred_logits[0]
+    if pred_masks.ndim == 5:
+        pred_masks = pred_masks[0]
+    if num_frames is not None:
+        pred_masks = pred_masks[:, :num_frames]
     q = pred_logits.shape[0]
     scores = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)[:, :-1]
     flat_scores = scores.reshape(-1)  # (Q*K)
