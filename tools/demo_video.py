@@ -103,13 +103,24 @@ def main(argv=None):
         if weights:
             print(f"WARNING: weights {weights!r} not found; random init")
 
-    images, (h, w) = preprocess_clip(frames, cfg.model.pixel_mean, cfg.model.pixel_std)
     tcfg = cfg.model.mask_former.test
+    h, w = nh, nw
+
+    # normalize/pad trace inside the jit: one uint8 upload + one dispatch
+    # per clip instead of an eager per-op chain over the device transport
+    # (same fusion as evaluate_dataset; reference demo.py:162-163 runs the
+    # whole clip in one forward too)
+    def fwd(variables, frames_u8):
+        images, _ = preprocess_clip(
+            frames_u8, cfg.model.pixel_mean, cfg.model.pixel_std,
+            cfg.model.mask_former.size_divisibility,
+        )
+        return model.apply(variables, images)
 
     start = time.perf_counter()
-    out = jax.jit(model.apply)(variables, images)
+    out = jax.jit(fwd)(variables, frames)
     device_out = postprocess_video(
-        out["pred_logits"][0], out["pred_masks"][0],
+        out["pred_logits"], out["pred_masks"],
         num_predictions=tcfg.num_predictions,
         num_classes=cfg.model.sem_seg_head.num_classes,
         image_size=(h, w), output_size=(oh, ow),
