@@ -260,6 +260,13 @@ def evaluate_dataset(
             use_nms=tcfg.use_nms,
             nms_thresh=tcfg.nms_thresh,
         )
+        # start the small-bundle D2H copy NOW (fire-and-forget): the
+        # transfer rides the tunnel while the main thread maps/dispatches
+        # the next video, so the finalize thread's blocking read (the
+        # device-completion barrier) finds the bytes already in flight
+        small = device_out.get("small")
+        if small is not None and hasattr(small, "copy_to_host_async"):
+            small.copy_to_host_async()
         t_put = time.perf_counter()
         stage["preprocess_dispatch"] += t_put - t_disp
         fin.put(record["video_id"], device_out)
