@@ -268,41 +268,68 @@ def unpack_masks(device_out: Dict[str, jnp.ndarray]) -> np.ndarray:
     return masks
 
 
-def read_kept_masks(
-    device_out: Dict[str, jnp.ndarray],
+def start_kept_masks_read(device_out: Dict[str, jnp.ndarray], keep: np.ndarray):
+    """First half of the survivors-only mask readback: slice the DEVICE
+    array to the NMS survivors and fire the device->host copy
+    asynchronously. Returns an opaque handle for finish_kept_masks_read.
+
+    With the kept-first layout ("order" present) the slice means the
+    device->host leg carries ~n_keep/P of the packed buffer. The slice
+    length is rounded up to a multiple of 8 so the transfer program
+    cache sees at most P/8 shapes. Splitting start/finish lets a
+    pipelined caller overlap this transfer with other host reads (the
+    evaluator runs them on two finalize threads)."""
+    masks = device_out["masks"]
+    if "order" in device_out and not isinstance(masks, np.ndarray):
+        n = int(keep.sum())
+        n_pad = min(keep.size, -(-n // 8) * 8)
+        sliced = masks[:n_pad]
+        if hasattr(sliced, "copy_to_host_async"):
+            sliced.copy_to_host_async()
+        return ("sliced", sliced, n, device_out)
+    return ("full", masks, None, device_out)
+
+
+def finish_kept_masks_read(
+    handle,
     keep: np.ndarray,
     timers: Dict[str, float] | None = None,
 ) -> np.ndarray:
-    """Transfer + unpack only the NMS survivors, bool (n_keep, T, H, W) in
-    original (score-sorted) prediction order.
-
-    With the kept-first layout ("order" present) this slices the DEVICE
-    array before the transfer, so the device->host leg carries ~n_keep/P
-    of the packed buffer. The slice length is rounded up to a multiple of
-    8 so the transfer program cache sees at most P/8 shapes.
+    """Second half: block on the transfer and unpack to bool
+    (n_keep, T, H, W) in original (score-sorted) prediction order.
 
     timers: optional dict accumulating "readback_masks" / "unpack" stage
     seconds (the evaluator's attribution table)."""
     import time
 
-    masks = device_out["masks"]
+    kind, arr, n, device_out = handle
     t0 = time.perf_counter()
-    if "order" in device_out and not isinstance(masks, np.ndarray):
-        n = int(keep.sum())
-        n_pad = min(keep.size, -(-n // 8) * 8)
-        packed = np.asarray(masks[:n_pad])[:n]
+    if kind == "sliced":
+        packed = np.asarray(arr)[:n]
         t1 = time.perf_counter()
         out = unpack_masks(
             {"masks": packed, "mask_height": device_out["mask_height"]}
         )
     else:
-        packed = np.asarray(masks)
+        packed = np.asarray(arr)
         t1 = time.perf_counter()
         out = unpack_masks({**device_out, "masks": packed})[keep]
     if timers is not None:
         timers["readback_masks"] += t1 - t0
         timers["unpack"] += time.perf_counter() - t1
     return out
+
+
+def read_kept_masks(
+    device_out: Dict[str, jnp.ndarray],
+    keep: np.ndarray,
+    timers: Dict[str, float] | None = None,
+) -> np.ndarray:
+    """Transfer + unpack only the NMS survivors (one-shot convenience
+    wrapper over the start/finish halves above)."""
+    return finish_kept_masks_read(
+        start_kept_masks_read(device_out, keep), keep, timers=timers
+    )
 
 
 def read_small_bundle(
