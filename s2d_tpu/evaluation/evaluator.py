@@ -292,8 +292,12 @@ def evaluate_dataset(
         stage["put_wait"] += time.perf_counter() - t_put
         gt_annotations.extend(collect_gt([record]))
     t_close = time.perf_counter()
-    fin.close()
-    fin_masks.close()
+    try:
+        fin.close()
+    finally:
+        # flush thread B even when A's flush re-raises (B's close re-raises
+        # the same root error if B was the one that failed)
+        fin_masks.close()
     stage["put_wait"] += time.perf_counter() - t_close
     elapsed = time.perf_counter() - start
 
