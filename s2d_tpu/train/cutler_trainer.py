@@ -384,10 +384,16 @@ def map_image_record(
     cfg: CutlerTrainerConfig,
     rng: Optional[np.random.RandomState] = None,
     is_train: bool = True,
+    normalize: bool = True,
 ) -> Optional[dict]:
     """Host-side: read + resize (shortest edge, capped at image_size) +
     optional hflip + pad to (image_size, image_size); targets padded to
-    max_instances. Returns numpy sample dict or None (unreadable image)."""
+    max_instances. Returns numpy sample dict or None (unreadable image).
+
+    normalize=False keeps the canvas uint8 and skips mean/std — for eval
+    callers that fuse normalization into the jitted forward so the
+    host->device upload is 1 byte/px instead of 4 (see
+    tools/train_net.py run_eval; same pattern as the video evaluator)."""
     from ..data.mapper import load_image_robust
     from ..data.rle import decode as rle_decode, polygons_to_mask
 
@@ -408,9 +414,13 @@ def map_image_record(
         img = img[:, ::-1]
 
     s = cfg.image_size
-    canvas = np.zeros((s, s, 3), np.float32)
-    canvas[:nh, :nw] = img
-    canvas = (canvas - np.asarray(cfg.pixel_mean)) / np.asarray(cfg.pixel_std)
+    if normalize:
+        canvas = np.zeros((s, s, 3), np.float32)
+        canvas[:nh, :nw] = img
+        canvas = (canvas - np.asarray(cfg.pixel_mean)) / np.asarray(cfg.pixel_std)
+    else:
+        canvas = np.zeros((s, s, 3), np.uint8)
+        canvas[:nh, :nw] = img
 
     n = cfg.max_instances
     boxes = np.zeros((n, 4), np.float32)

@@ -222,7 +222,13 @@ def main(argv=None):
     num_classes = max(len(meta["thing_classes"]), 1)
 
     @jax.jit
-    def infer(params, image):
+    def infer(params, image_u8):
+        # normalize traced here: the upload is 1 uint8 byte/px (the mapper
+        # runs with normalize=False) and the whole per-image path is one
+        # upload + one dispatch — same fusion as the video evaluator
+        image = (
+            image_u8.astype(jnp.float32) - jnp.asarray(cfg.pixel_mean)
+        ) / jnp.asarray(cfg.pixel_std)
         out = model.apply(params, image)
         return cascade_detections(
             out, cfg.rcnn.num_classes, cfg.score_thresh,
@@ -262,13 +268,14 @@ def main(argv=None):
     fin = FinalizeThread(finalize, depth=2)
 
     mapped = _prefetch(
-        ((r, map_image_record(r, cfg, is_train=False)) for r in dicts),
+        ((r, map_image_record(r, cfg, is_train=False, normalize=False))
+         for r in dicts),
         depth=2,
     )
     for record, s in mapped:
         if s is None:
             continue
-        det = infer(params, jnp.asarray(s["image"])[None])
+        det = infer(params, s["image"][None])
         fin.put(record, s, det)
         for ann in record.get("annotations", []):
             gts.append({
