@@ -79,7 +79,13 @@ def main(argv=None) -> int:
     num_classes = cfg.model.sem_seg_head.num_classes
 
     @jax.jit
-    def forward(variables, images):
+    def forward(variables, frames_u8):
+        # normalize/pad trace here: one uint8 upload + one dispatch per
+        # image (same fusion as the evaluator and the video demo)
+        images, _ = preprocess_clip(
+            frames_u8, cfg.model.pixel_mean, cfg.model.pixel_std,
+            cfg.model.mask_former.size_divisibility,
+        )
         return model.apply(variables, images)
 
     for path in files:
@@ -93,10 +99,7 @@ def main(argv=None) -> int:
             oh, ow, cfg.input.min_size_test, cfg.input.max_size_test
         )
         frame = cv2.resize(raw, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        # uint8 through preprocess_clip: 4x less upload, cast on device
-        images, (h, w) = preprocess_clip(
-            frame[None], cfg.model.pixel_mean, cfg.model.pixel_std,
-        )
+        h, w = nh, nw
         if variables is None:
             if weights and os.path.exists(weights):
                 variables = load_reference_model(
@@ -112,7 +115,7 @@ def main(argv=None) -> int:
                     print(f"WARNING: weights {weights!r} not found; random init")
 
         start = time.perf_counter()
-        out = forward(variables, images)  # preprocess_clip already batched
+        out = forward(variables, frame[None])  # (1, H, W, 3) uint8
         logits = out["pred_logits"][0]    # (Q, K+1)
         qm = out["pred_masks"][0]         # (Q, 1, Hp/4, Wp/4) mask logits
         pad = (qm.shape[-2] * 4, qm.shape[-1] * 4)
