@@ -20,7 +20,6 @@ import time
 from typing import Dict, Iterable, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
@@ -28,7 +27,7 @@ from ..data import rle as rle_codec
 from ..data.mapper import ClipMapper, MapperConfig
 from ..data.ytvis import get_dataset
 from ..models.meta_arch import preprocess_clip
-from .inference import finalize_predictions, postprocess_video
+from .inference import postprocess_video
 
 
 def predictions_to_results(
