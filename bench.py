@@ -31,10 +31,10 @@ import time
 # "Baseline denominator grounding" for the sensitivity analysis.
 ESTIMATED_A100_FPS = 25.0
 
-# v5e (TPU v5 lite) peak dense bf16 matmul throughput per chip. Used for
-# the MFU field: measured forward FLOP/s divided by this peak says how much
-# chip headroom remains (VERDICT r3 weak #6).
-V5E_PEAK_BF16_FLOPS = 197e12
+# The MFU field (measured forward FLOP/s over the v5e bf16 peak) says how
+# much chip headroom remains (VERDICT r3 weak #6); the peak constant lives
+# in s2d_tpu.utils.profiling.V5E_PEAK_BF16_FLOPS, shared with
+# tools/bench_train_step.py.
 
 T = 8  # frames per clip forward
 IN_H, IN_W = 360, 640
@@ -208,18 +208,15 @@ def inner():
     # MFU: XLA's own cost analysis of the compiled model forward (the same
     # executable the loop above ran) divided by the v5e bf16 peak. The
     # postprocess adds <1 GFLOP and is excluded; this is model-forward MFU.
-    try:
-        cost = forward.lower(variables, images).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
-            cost = cost[0] if cost else {}
-        flops_per_clip = float(cost.get("flops", 0.0))
-        if flops_per_clip > 0:
-            extra["gflop_per_frame"] = round(flops_per_clip / T / 1e9, 1)
-            if on_tpu:
-                mfu = (flops_per_clip * iters / elapsed) / V5E_PEAK_BF16_FLOPS
-                extra["mfu_vs_v5e_peak"] = round(mfu, 4)
-    except Exception:
-        pass  # cost analysis is informational; never lose the round's number
+    from s2d_tpu.utils.profiling import compiled_flops, mfu_vs_v5e
+
+    flops_per_clip = compiled_flops(forward, variables, images)
+    if flops_per_clip > 0:
+        extra["gflop_per_frame"] = round(flops_per_clip / T / 1e9, 1)
+        if on_tpu:
+            extra["mfu_vs_v5e_peak"] = round(
+                mfu_vs_v5e(flops_per_clip, iters, elapsed), 4
+            )
 
     emit(round(fps, 2), round(fps / ESTIMATED_A100_FPS, 3), **extra)
 

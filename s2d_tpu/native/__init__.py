@@ -6,6 +6,7 @@ try one `g++` build; failing that, callers fall back to numpy paths.
 """
 from __future__ import annotations
 
+import contextlib
 import ctypes
 import os
 import subprocess
@@ -40,8 +41,18 @@ def lib() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO) and not _build(_SO):
-        return None
+    if not os.path.exists(_SO):
+        if not _build(_SO):
+            return None
+    else:
+        src = os.path.join(_DIR, "rle_ops.cpp")
+        with contextlib.suppress(OSError):
+            if os.path.getmtime(src) > os.path.getmtime(_SO):
+                # source edited after the committed binary was built:
+                # refresh in place (we haven't dlopen'd yet, so no handle
+                # caching to dodge); on build failure fall through to the
+                # existing binary
+                _build(_SO)
     try:
         cdll = ctypes.CDLL(_SO)
         if not hasattr(cdll, "rle_string_to_counts"):
@@ -52,8 +63,15 @@ def lib() -> Optional[ctypes.CDLL]:
             fresh = f"{_SO}.{os.getpid()}"
             if not _build(fresh):
                 return None
-            cdll = ctypes.CDLL(fresh)
-            os.replace(fresh, _SO)
+            try:
+                cdll = ctypes.CDLL(fresh)
+                os.replace(fresh, _SO)
+            except Exception:
+                # don't leave the per-pid temp behind when the fresh build
+                # fails to load (it would accrete as untracked git noise)
+                with contextlib.suppress(OSError):
+                    os.remove(fresh)
+                raise
             if not hasattr(cdll, "rle_string_to_counts"):
                 return None
         cdll.rle_encode.restype = ctypes.c_int64

@@ -121,12 +121,17 @@ int64_t rle_string_to_counts(const char* s, int64_t n, int64_t* counts,
         int64_t k = 0;
         for (;;) {
             if (i >= n) return -1;
+            // 13 five-bit groups cover int64; more means a corrupt or
+            // adversarial string — reject instead of shifting by >=64,
+            // which is undefined behavior (the Python big-int fallback
+            // then reports the real parse error)
+            if (k >= 13) return -1;
             int64_t c = (int64_t)(unsigned char)s[i] - 48;
             x |= (c & 0x1F) << (5 * k);
             ++i;
             ++k;
             if (!(c & 0x20)) {
-                if (c & 0x10) x |= -(int64_t)1 << (5 * k);
+                if (c & 0x10 && 5 * k < 64) x |= -(int64_t)1 << (5 * k);
                 break;
             }
         }

@@ -50,3 +50,30 @@ class StepTimer:
 
     def metrics(self):
         return {"data_time": self.data_time, "time": self.data_time + self.step_time}
+
+
+# v5e per-chip bf16 peak (datasheet), shared by every bench's MFU line so
+# a future correction happens in exactly one place
+V5E_PEAK_BF16_FLOPS = 197e12
+
+
+def compiled_flops(lowerable, *args, **kwargs) -> float:
+    """FLOPs of one call per XLA's cost analysis of the compiled
+    executable (0.0 when unavailable). `lowerable` is a jitted function;
+    the lower/compile hits the persistent compilation cache, so this
+    costs seconds, not a recompile."""
+    try:
+        cost = lowerable.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0] if cost else {}
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def mfu_vs_v5e(flops_per_call: float, calls: int, seconds: float) -> float:
+    """Measured FLOP/s over the v5e bf16 peak. Only meaningful on TPU —
+    callers gate on the backend."""
+    if seconds <= 0:
+        return 0.0
+    return (flops_per_call * calls / seconds) / V5E_PEAK_BF16_FLOPS

@@ -71,3 +71,23 @@ def test_track_iou_matrix(cdll):
             union = sum(np.logical_or(a, b).sum() for a, b in zip(dm, gm))
             expect = inter / union if union else 0.0
             assert mat[di, gi] == pytest.approx(expect, rel=1e-12)
+
+
+def test_string_to_counts_rejects_unbounded_varint():
+    """A corrupt counts string whose continuation bits never end within
+    the 13 five-bit groups an int64 can hold must be REJECTED by the
+    native decoder (shifting by >=64 is UB in C++), falling back to the
+    Python big-int parser instead of returning garbage as success."""
+    from s2d_tpu import native
+    from s2d_tpu.data import rle
+
+    # 20 chars, every one with the 0x20 continuation bit set, then a
+    # terminator: 21 five-bit groups >> int64
+    bad = bytes([48 + 0x3F] * 20 + [48 + 0x0F])
+    if native.lib() is not None:
+        assert native.string_to_counts(bad) is None, (
+            "native decoder accepted an over-long varint"
+        )
+    # the public API still parses it (arbitrary-precision Python ints)
+    counts = rle.string_to_counts(bad)
+    assert isinstance(counts, list) and len(counts) == 1

@@ -271,6 +271,10 @@ def test_export_model_cli(tmp_path):
     assert manifest["input"]["frames"] == [2, 64, 96, 3]
     assert manifest["output_size"] == [128, 192]
     assert manifest["masks_packed_along_h"] is True
+    # serving contract: exactly the documented outputs, all in prediction
+    # order — the interactive kept-first transport layout ("order"/"small"
+    # extras) must not leak into the artifact
+    assert set(manifest["outputs"]) == {"scores", "labels", "keep", "masks"}
     assert os.path.exists(os.path.join(out, "module.bin"))
     assert os.path.isdir(os.path.join(out, "params"))
 

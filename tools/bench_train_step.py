@@ -189,25 +189,20 @@ def main():
 
     # MFU (VERDICT r3 weak #6): XLA cost analysis of the whole train step
     # (student fwd + teacher fwd + criterion pair + bwd + optimizer) over
-    # the v5e bf16 peak. The AOT lower/compile reuses the persistent
-    # compilation cache, so this adds seconds, not a recompile.
-    try:
-        cost = step_fn.lower(
-            state, images, tgt_masks, tgt_valid, rng
-        ).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0] if cost else {}
-        flops = float(cost.get("flops", 0.0))
-        if flops > 0:
-            peak = 197e12  # v5e bf16 peak FLOP/s per chip
-            print(
-                f"step flops: {flops / 1e12:.2f} TFLOP  "
-                f"mfu_vs_v5e_peak: {flops / dt / peak:.4f}",
-                flush=True,
-            )
-    except Exception as e:  # informational only
-        print(f"mfu: cost analysis unavailable ({type(e).__name__})",
-              flush=True)
+    # the v5e bf16 peak (shared constant/helpers in utils.profiling). The
+    # AOT lower/compile reuses the persistent compilation cache, so this
+    # adds seconds, not a recompile. MFU only prints on TPU — dividing a
+    # CPU step time by the TPU peak would be a meaningless figure.
+    from s2d_tpu.utils.profiling import compiled_flops, mfu_vs_v5e
+
+    flops = compiled_flops(step_fn, state, images, tgt_masks, tgt_valid, rng)
+    if flops > 0:
+        line = f"step flops: {flops / 1e12:.2f} TFLOP"
+        if jax.default_backend() == "tpu":
+            line += f"  mfu_vs_v5e_peak: {mfu_vs_v5e(flops, 1, dt):.4f}"
+        print(line, flush=True)
+    else:
+        print("mfu: cost analysis unavailable", flush=True)
 
 
 if __name__ == "__main__":

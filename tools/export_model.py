@@ -27,7 +27,9 @@ Serving-side consumer (no s2d_tpu imports needed):
     params = orbax.checkpoint.StandardCheckpointer().restore(
         "<output>/params/0/default")
     out = rt.call(params, frames_uint8)   # shapes per manifest.json
-    # out["masks"] is uint8 bit-packed along H (np.unpackbits(axis=-2))
+    # out["masks"][i] is prediction i's track, uint8 bit-packed along H:
+    # np.unpackbits(out["masks"], axis=-2)[..., :H_out, :] with H_out from
+    # manifest output_size; out["keep"] selects the NMS survivors
 
 Notes:
   * exports the portable XLA MSDA formulation (msda_impl="xla"); the
@@ -60,7 +62,7 @@ def build_serve_fn(cfg, model):
             frames, cfg.model.pixel_mean, cfg.model.pixel_std
         )
         out = model.apply(variables, images)
-        return postprocess_video(
+        dev = postprocess_video(
             out["pred_logits"][0],
             out["pred_masks"][0],
             num_predictions=tcfg.num_predictions,
@@ -71,6 +73,20 @@ def build_serve_fn(cfg, model):
             nms_thresh=tcfg.nms_thresh,
             pack_bits=True,  # env-independent: serving always ships packed
         )
+        # serving contract: row i of every output refers to prediction i
+        # (score-sorted). The interactive eval path ships masks kept-first
+        # with the permutation to cut the device->host slice; that layout
+        # is an implementation detail external consumers must not need —
+        # restore prediction order on device and drop the transport extras.
+        masks = dev["masks"]
+        if "order" in dev:
+            masks = masks[jnp.argsort(dev["order"])]
+        return {
+            "scores": dev["scores"],
+            "labels": dev["labels"],
+            "keep": dev["keep"],
+            "masks": masks,
+        }
 
     return serve
 
