@@ -179,8 +179,10 @@ def evaluate_dataset(
     # `put_wait` (main thread blocked on the finalize queue) measures how
     # much the readback/encode leg is the critical path.
     stage: Dict[str, float] = {
-        "decode_map": 0.0,        # prefetch thread: JPEG read + resize
-        "preprocess_dispatch": 0.0,  # main: upload + fwd/postprocess enqueue
+        "decode_map": 0.0,        # prefetch thread: JPEG read + resize +
+        #                           the host->device frame upload (issued
+        #                           on the prefetch thread since round 4)
+        "preprocess_dispatch": 0.0,  # main: fwd/postprocess enqueue
         "dispatch_fwd": 0.0,      # main: forward-jit call (within above)
         "dispatch_post": 0.0,     # main: postprocess-jit call (within above)
         "put_wait": 0.0,          # main: backpressure from finalize thread

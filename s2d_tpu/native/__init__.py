@@ -47,12 +47,20 @@ def lib() -> Optional[ctypes.CDLL]:
     else:
         src = os.path.join(_DIR, "rle_ops.cpp")
         with contextlib.suppress(OSError):
-            if os.path.getmtime(src) > os.path.getmtime(_SO):
-                # source edited after the committed binary was built:
-                # refresh in place (we haven't dlopen'd yet, so no handle
-                # caching to dodge); on build failure fall through to the
-                # existing binary
-                _build(_SO)
+            # 1s slack: fresh git checkouts stamp source and binary at
+            # near-identical times in arbitrary order; only a clearly-newer
+            # source triggers a refresh
+            if os.path.getmtime(src) > os.path.getmtime(_SO) + 1.0:
+                # source edited after the committed binary was built: build
+                # to a per-pid temp and atomically replace so a concurrent
+                # process never dlopens a partially written .so; on build
+                # failure fall through to the existing binary
+                fresh = f"{_SO}.{os.getpid()}"
+                if _build(fresh):
+                    os.replace(fresh, _SO)
+                else:
+                    with contextlib.suppress(OSError):
+                        os.remove(fresh)
     try:
         cdll = ctypes.CDLL(_SO)
         if not hasattr(cdll, "rle_string_to_counts"):

@@ -117,7 +117,10 @@ int64_t rle_string_to_counts(const char* s, int64_t n, int64_t* counts,
                              int64_t cap) {
     int64_t m = 0, i = 0;
     while (i < n) {
-        int64_t x = 0;
+        // accumulate in uint64_t: at k=12 a group still shifts into the
+        // sign bit, which is signed-overflow UB under gnu++17 — unsigned
+        // wraparound is defined and the final cast back is two's-complement
+        uint64_t ux = 0;
         int64_t k = 0;
         for (;;) {
             if (i >= n) return -1;
@@ -127,14 +130,15 @@ int64_t rle_string_to_counts(const char* s, int64_t n, int64_t* counts,
             // then reports the real parse error)
             if (k >= 13) return -1;
             int64_t c = (int64_t)(unsigned char)s[i] - 48;
-            x |= (c & 0x1F) << (5 * k);
+            ux |= (uint64_t)(c & 0x1F) << (5 * k);
             ++i;
             ++k;
             if (!(c & 0x20)) {
-                if (c & 0x10 && 5 * k < 64) x |= -(int64_t)1 << (5 * k);
+                if (c & 0x10 && 5 * k < 64) ux |= ~(uint64_t)0 << (5 * k);
                 break;
             }
         }
+        int64_t x = (int64_t)ux;
         if (m > 2) x += counts[m - 2];
         if (m >= cap) return -1;
         counts[m++] = x;
