@@ -136,6 +136,71 @@ def test_mesh_train_step_eight_devices():
     assert int(jax.device_get(new_state.step)) == 1
 
 
+def test_mesh_train_step_disentangle_nms_matches_single_device():
+    """The non-default KD arms under GSPMD (VERDICT r4 #4): the disentangle
+    warp (`warp_masks_affine` replaying the distill view's affine on the
+    teacher targets, reference kd_video_maskformer_model.py:272-312) plus
+    DISTILLATION_NMS (:485-519) inside the jitted step on a 2-device data
+    mesh produce the same global losses as unsharded."""
+    assert len(jax.devices()) >= 2
+    cfg = load_config(None, opts=[
+        "MODEL.MASK_FORMER.HIDDEN_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.MASK_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.CONVS_DIM", "32",
+        "MODEL.MASK_FORMER.NUM_OBJECT_QUERIES", "8",
+        "MODEL.MASK_FORMER.NHEADS", "4",
+        "MODEL.MASK_FORMER.DIM_FEEDFORWARD", "64",
+        "MODEL.MASK_FORMER.DEC_LAYERS", "2",
+        "MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS", "1",
+        "MODEL.MASK_FORMER.TRAIN_NUM_POINTS", "64",
+        "SOLVER.AMP.ENABLED", "False",
+        "MODEL.MASK_FORMER.DISTILLATION_NMS", "True",
+        "INPUT.DISENTANGLE_DISTILLATION_LOADER", "True",
+        # random init scores rarely clear 0.75 — drop the distillation
+        # threshold so NMS actually has candidates to suppress
+        "MODEL.MASK_FORMER.SCORE_THRESHOLD_DISTILLATION", "0.1",
+    ])
+    model = _tiny_model(cfg)
+    tx, state, (images, masks, valid) = _make_state_and_batch(cfg, model, b=2)
+    b, t, h, w = images.shape[:4]
+    distill = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (b, t, h, w, 3))
+    )
+    affine = np.broadcast_to(
+        np.asarray(
+            [[1.0, 0.0, 3.0], [0.0, 1.0, -2.0], [0.0, 0.0, 1.0]], np.float32
+        ),
+        (b, t, 3, 3),
+    ).copy()
+    step_fn = jax.jit(make_train_step(model, cfg, tx))
+    step_rng = jax.random.PRNGKey(2)
+
+    _, m_single = step_fn(
+        state, jnp.asarray(images), jnp.asarray(masks), jnp.asarray(valid),
+        step_rng, distill_images=jnp.asarray(distill),
+        distill_affine=jnp.asarray(affine),
+    )
+
+    mesh = create_mesh(n_data=2, devices=jax.devices()[:2])
+    with mesh:
+        state_r = replicate(mesh, state)
+        s_img, s_masks, s_valid, s_distill, s_affine = shard_batch(
+            mesh, (images, masks, valid, distill, affine)
+        )
+        new_state, m_mesh = step_fn(
+            state_r, s_img, s_masks, s_valid, step_rng,
+            distill_images=s_distill, distill_affine=s_affine,
+        )
+
+    assert np.isfinite(float(m_mesh["total_loss"]))
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_mesh[k]), float(m_single[k]), rtol=1e-4, atol=1e-6,
+            err_msg=f"metric {k} diverges on the mesh with disentangle+NMS",
+        )
+    assert int(jax.device_get(new_state.step)) == 1
+
+
 def test_loader_shards_are_disjoint_and_cover():
     """train_loader num_shards/shard_index: same seed => the per-epoch
     permutation is shared, shards take disjoint slices covering the set
