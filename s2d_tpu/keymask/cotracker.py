@@ -421,11 +421,33 @@ def _refine_net_vmapped(net, params, pyramid, queries, query_frames,
 
 # ------------------------------------------------------- torch import
 
-# bijective table: params pytree path (dot-joined, under "params") <->
-# torch state_dict key. Conv kernels transpose OIHW->HWIO, dense .weight
-# transposes; norm scale/bias map to weight/bias.
-_PARAM_KINDS = {"kernel": "weight", "scale": "weight", "bias": "bias",
-                "time_embed": "time_embed"}
+# Bijective table between this params pytree and an UPSTREAM-shaped torch
+# state_dict (the public facebookresearch/co-tracker module naming the
+# reference loads `scaled_offline.pth` into via CoTrackerPredictor,
+# `/root/reference/keymask_ident/cotracker_occlusions.py:309-321`):
+#
+#   fnet.conv1 / fnet.norm1 / fnet.layer{1,2,3}.0.{conv1,norm1,conv2,
+#   norm2,downsample} / fnet.conv2   (BasicEncoder-style spelling)
+#   updateformer.time_blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,
+#   mlp.fc1,mlp.fc2}  and  updateformer.space_virtual_blocks.{i}.*
+#   updateformer.input_transform / updateformer.flow_head / time_emb
+#
+# Tensor layouts are REAL torch layouts (fused (3D, D) attn qkv, OIHW
+# convs, (out, in) dense weights), so the modules that correspond import
+# from the actual upstream file without key surgery. This net's
+# architecture intentionally differs from upstream (AB_KEYMASK.md backs
+# the correlation design); upstream-only parameters (virtual tracks,
+# extra blocks) have no counterpart here and raise with a full report —
+# never silently dropped.
+_PARAM_KINDS = {"kernel": "weight", "scale": "weight", "bias": "bias"}
+
+_MODULE_RENAMES = {
+    "input_proj": ("updateformer", "input_transform"),
+    "delta_head": ("updateformer", "flow_head"),
+    "mlp1": ("mlp", "fc1"),
+    "mlp2": ("mlp", "fc2"),
+    "fuse": ("conv2",),
+}
 
 
 def _flatten(tree, prefix=()):
@@ -448,21 +470,67 @@ def _unflatten(flat):
     return tree
 
 
+def _upstream_modules(mods: Tuple[str, ...]) -> List[str]:
+    """Internal module path -> upstream-spelled module path."""
+    import re
+
+    out: List[str] = []
+    for m in mods:
+        blk = re.fullmatch(r"(time|space)(\d+)", m)
+        if blk:
+            name = "time_blocks" if blk.group(1) == "time" else "space_virtual_blocks"
+            out.extend([name, blk.group(2)])
+        elif re.fullmatch(r"layer[123]", m):
+            out.extend([m, "0"])  # upstream layers are Sequentials of blocks
+        elif m in _MODULE_RENAMES:
+            out.extend(_MODULE_RENAMES[m])
+        else:
+            out.append(m)
+    return out
+
+
 def torch_key_for(path: Tuple[str, ...]) -> str:
-    """params path (without the leading 'params') -> torch key."""
+    """params path (without the leading 'params') -> upstream torch key.
+    Attention leaves are handled by the fused-qkv special case, not here."""
     *mods, leaf = path
     if leaf == "time_embed":
-        return "time_embed"
-    return ".".join(list(mods) + [_PARAM_KINDS[leaf]])
+        return "time_emb"
+    return ".".join(_upstream_modules(tuple(mods)) + [_PARAM_KINDS[leaf]])
+
+
+def _attn_block_prefixes(flat) -> Dict[Tuple[str, ...], None]:
+    """Distinct module prefixes that own an attention submodule."""
+    out: Dict[Tuple[str, ...], None] = {}
+    for path in flat:
+        if "attn" in path:
+            out[path[: path.index("attn")]] = None
+    return out
 
 
 def to_torch_state_dict(params: Dict) -> Dict[str, np.ndarray]:
-    """Inverse converter (for tests and interop): params -> state_dict."""
-    sd = {}
-    for path, v in _flatten(params["params"]).items():
+    """Inverse converter (for tests and interop): params -> upstream-shaped
+    state_dict with real torch tensor layouts."""
+    flat = _flatten(params["params"])
+    sd: Dict[str, np.ndarray] = {}
+    for prefix in _attn_block_prefixes(flat):
+        base = ".".join(_upstream_modules(prefix)) + ".attn."
+        dim = np.shape(flat[prefix + ("attn", "query", "kernel")])[0]
+        ws, bs = [], []
+        for proj in ("query", "key", "value"):
+            k = np.asarray(flat[prefix + ("attn", proj, "kernel")])
+            b = np.asarray(flat[prefix + ("attn", proj, "bias")])
+            ws.append(k.reshape(dim, dim).T)  # (in,h,hd) -> torch (out,in)
+            bs.append(b.reshape(dim))
+        sd[base + "qkv.weight"] = np.concatenate(ws, axis=0)   # (3D, D)
+        sd[base + "qkv.bias"] = np.concatenate(bs, axis=0)     # (3D,)
+        out_k = np.asarray(flat[prefix + ("attn", "out", "kernel")])
+        sd[base + "proj.weight"] = out_k.reshape(dim, dim).T   # (out, in)
+        sd[base + "proj.bias"] = np.asarray(flat[prefix + ("attn", "out", "bias")])
+    for path, v in flat.items():
+        if "attn" in path:
+            continue
         arr = np.asarray(v)
-        leaf = path[-1]
-        if leaf == "kernel":
+        if path[-1] == "kernel":
             arr = arr.transpose(3, 2, 0, 1) if arr.ndim == 4 else arr.T
         sd[torch_key_for(path)] = arr
     return sd
@@ -471,13 +539,49 @@ def to_torch_state_dict(params: Dict) -> Dict[str, np.ndarray]:
 def convert_cotracker_state_dict(
     sd: Dict[str, np.ndarray], template: Dict
 ) -> Dict:
-    """torch state_dict -> params pytree shaped like `template`.
+    """Upstream-shaped torch state_dict -> params pytree like `template`.
 
     Every template leaf must find its key; unmapped/missing keys raise with
     a full report (never silently dropped)."""
     flat = _flatten(template["params"])
     used, missing, out = set(), [], {}
+    # fused-qkv attention blocks first (shape-aware, template-driven)
+    for prefix in _attn_block_prefixes(flat):
+        base = ".".join(_upstream_modules(prefix)) + ".attn."
+        keys = {n: base + n for n in
+                ("qkv.weight", "qkv.bias", "proj.weight", "proj.bias")}
+        if any(k not in sd for k in keys.values()):
+            missing.extend(k for k in keys.values() if k not in sd)
+            continue
+        q_shape = np.shape(flat[prefix + ("attn", "query", "kernel")])
+        dim, heads, head_dim = q_shape
+        qkv_w = np.asarray(sd[keys["qkv.weight"]])
+        qkv_b = np.asarray(sd[keys["qkv.bias"]])
+        if qkv_w.shape != (3 * dim, dim):
+            raise ValueError(
+                f"shape mismatch for {keys['qkv.weight']}: ckpt "
+                f"{qkv_w.shape} vs model {(3 * dim, dim)}"
+            )
+        for j, proj in enumerate(("query", "key", "value")):
+            w = qkv_w[j * dim:(j + 1) * dim]          # torch (out, in)
+            b = qkv_b[j * dim:(j + 1) * dim]
+            out[prefix + ("attn", proj, "kernel")] = jnp.asarray(
+                w.T.reshape(dim, heads, head_dim)
+            )
+            out[prefix + ("attn", proj, "bias")] = jnp.asarray(
+                b.reshape(heads, head_dim)
+            )
+        proj_w = np.asarray(sd[keys["proj.weight"]])  # (out, in)
+        out[prefix + ("attn", "out", "kernel")] = jnp.asarray(
+            proj_w.T.reshape(heads, head_dim, dim)
+        )
+        out[prefix + ("attn", "out", "bias")] = jnp.asarray(
+            sd[keys["proj.bias"]]
+        )
+        used.update(keys.values())
     for path, v in flat.items():
+        if "attn" in path:
+            continue
         key = torch_key_for(path)
         if key not in sd:
             missing.append(key)
@@ -496,7 +600,10 @@ def convert_cotracker_state_dict(
         raise ValueError(
             "checkpoint/model key mismatch:\n"
             f"  missing in checkpoint: {sorted(missing)[:20]}\n"
-            f"  unmapped in checkpoint: {extra[:20]}"
+            f"  unmapped in checkpoint: {extra[:20]}\n"
+            "  (upstream-only modules — virtual tracks, extra encoder "
+            "blocks — have no counterpart in this net; its architecture "
+            "intentionally differs, see AB_KEYMASK.md)"
         )
     return {"params": _unflatten(out)}
 

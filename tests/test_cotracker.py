@@ -93,6 +93,68 @@ def test_converter_roundtrip(tiny_net):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_converter_upstream_shaped_keys_roundtrip(tiny_net, tmp_path):
+    """VERDICT r4 #7: the table is aimed at the PUBLIC co-tracker naming.
+    The emitted state_dict spells keys the upstream way (fused attn qkv,
+    time_blocks.{i}, layerN.0, input_transform/flow_head/time_emb, real
+    torch tensor layouts), and a torch.save'd checkpoint with a "model."
+    prefix — the `scaled_offline.pth` wrapping — loads back bijectively
+    through the production load path."""
+    import torch
+
+    from s2d_tpu.keymask.cotracker import (
+        load_cotracker_checkpoint,
+        to_torch_state_dict,
+    )
+
+    net, params = tiny_net
+    sd = to_torch_state_dict(params)
+    # upstream spellings present, internal spellings absent
+    assert "updateformer.time_blocks.0.attn.qkv.weight" in sd
+    assert "updateformer.space_virtual_blocks.0.mlp.fc1.weight" in sd
+    assert "updateformer.input_transform.weight" in sd
+    assert "updateformer.flow_head.weight" in sd
+    assert "fnet.layer1.0.conv1.weight" in sd
+    assert "fnet.conv2.weight" in sd  # internal "fuse"
+    assert "time_emb" in sd
+    assert not any(".mlp1." in k or ".time0." in k or "input_proj" in k
+                   for k in sd)
+    # real torch layouts: fused qkv is (3D, D), conv1 is OIHW
+    dim = net.dim
+    assert sd["updateformer.time_blocks.0.attn.qkv.weight"].shape == (3 * dim, dim)
+    assert sd["fnet.conv1.weight"].shape == (64, 3, 7, 7)
+
+    path = tmp_path / "scaled_offline.pth"
+    torch.save({"model." + k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, str(path))
+    restored = load_cotracker_checkpoint(str(path), net, params)
+    flat_a = _flatten_with_paths(params)
+    flat_b = _flatten_with_paths(restored)
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(flat_a[k]), np.asarray(flat_b[k]), rtol=1e-6,
+            err_msg=str(k),
+        )
+    # and the imported params produce identical tracks
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (3, 64, 64, 3))
+    queries = jnp.asarray([[10.0, 20.0], [40.0, 12.0]] + [[32.0, 32.0]] * 6)
+    t_a, v_a = net.apply(params, frames, queries, 1)
+    t_b, v_b = net.apply(restored, frames, queries, 1)
+    np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_a), np.asarray(v_b), atol=1e-5)
+
+
+def _flatten_with_paths(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten_with_paths(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
 def test_converter_reports_mismatch(tiny_net):
     from s2d_tpu.keymask.cotracker import (
         convert_cotracker_state_dict,

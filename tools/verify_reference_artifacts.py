@@ -1,0 +1,344 @@
+#!/usr/bin/env python
+"""One-command real-artifact runbook (VERDICT r4 #6).
+
+The de-facto baseline spec is eval of `s2d_zeroshot.pth` on ytvis_2021_val
+(`/root/reference/README.md:40-60`); this environment cannot fetch the
+artifacts, so everything runnable has been rehearsed at full scale on
+random weights. THIS tool is the day-one procedure for when the real files
+land — one command that converts, proves parity, and prints the AP
+verdict:
+
+    python tools/verify_reference_artifacts.py \
+        --zeroshot  /path/to/s2d_zeroshot.pth \
+        [--cotracker /path/to/scaled_offline.pth] \
+        [--ytvis    /path/to/ytvis_2021]  \
+        [--expected-ap 23.2 --ap-tolerance 0.2] \
+        [--config-file configs/s2d_inference_kd_video_mask2former_R50_cls_agnostic.yaml] \
+        [opts KEY VALUE ...]
+
+Stages (each prints `[stage] PASS/FAIL`; exit 0 iff every run stage passed):
+
+  convert        .pth/.pkl -> VideoMaskFormer params for every network in
+                 the file (student_teacher or plain layout); the converter
+                 raises on ANY unconsumed key, so a pass means full
+                 coverage of the checkpoint.
+  golden-parity  the REAL weights loaded into BOTH stacks — the
+                 independent torch oracle (tests/torch_oracle.py, the
+                 reference architecture re-implemented in torch) and the
+                 JAX model — and the demo protocol compared end-to-end on
+                 a probe clip at the s2d_inference shapes: identical
+                 top-k selection, identical NMS keep set, binary masks
+                 bit-equal away from the fp boundary band
+                 (tests/test_demo_parity.py semantics, reference
+                 `kd_video_maskformer_model.py:330-356,530-610`).
+  eval           full eval on the real YTVIS valid set -> AP table, and
+                 the north-star verdict |AP - expected| <= tolerance
+                 (BASELINE.md "AP within 0.2").
+  cotracker      import `scaled_offline.pth` through the upstream-shaped
+                 key table (keymask/cotracker.py). The rebuild's tracker
+                 architecture intentionally differs from upstream
+                 (AB_KEYMASK.md), so a full-key import is expected to
+                 fail on upstream-only modules: the stage prints the
+                 exact report and counts as informational unless
+                 --strict-cotracker.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+DEFAULT_CONFIG = os.path.join(
+    os.path.dirname(__file__), "..", "configs",
+    "s2d_inference_kd_video_mask2former_R50_cls_agnostic.yaml",
+)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--zeroshot", required=True, help="s2d_zeroshot.pth path")
+    p.add_argument("--cotracker", default="", help="scaled_offline.pth path")
+    p.add_argument("--ytvis", default="",
+                   help="YTVIS root containing <name>.json + frame dirs")
+    p.add_argument("--ytvis-json", default="valid.json",
+                   help="annotation json filename under --ytvis")
+    p.add_argument("--ytvis-frames", default="JPEGImages",
+                   help="frame root dirname under --ytvis")
+    p.add_argument("--expected-ap", type=float, default=None,
+                   help="reference AP to verify against (north star: "
+                        "within --ap-tolerance)")
+    p.add_argument("--ap-tolerance", type=float, default=0.2)
+    p.add_argument("--config-file", default=DEFAULT_CONFIG)
+    p.add_argument("--max-videos", type=int, default=None)
+    p.add_argument("--probe-size", type=int, nargs=2, default=(360, 640),
+                   metavar=("H", "W"),
+                   help="golden-parity probe clip size (s2d_inference "
+                        "MIN_SIZE_TEST shapes)")
+    p.add_argument("--nheads", type=int, default=None,
+                   help="attention head count (not recoverable from "
+                        "checkpoint shapes; default 8 at 256-dim)")
+    p.add_argument("--skip-parity", action="store_true",
+                   help="convert-only (no torch oracle forward)")
+    p.add_argument("--strict-cotracker", action="store_true",
+                   help="fail (not just report) on cotracker key mismatch")
+    p.add_argument("--output-dir", default="/tmp/verify_reference_artifacts")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[],
+                   help="config overrides: KEY VALUE pairs")
+    return p.parse_args(argv)
+
+
+def _count_layers(state, prefix):
+    import re
+
+    idx = {
+        int(m.group(1))
+        for k in state
+        for m in [re.match(re.escape(prefix) + r"\.(\d+)\.", k)]
+        if m
+    }
+    return max(idx) + 1 if idx else 0
+
+
+def infer_arch(net_state):
+    """Network hyperparameters from checkpoint tensor shapes/keys — the
+    tool must follow the file, not assume the production scale."""
+    queries, hidden = net_state["sem_seg_head.predictor.query_feat.weight"].shape
+    num_classes = net_state["sem_seg_head.predictor.class_embed.weight"].shape[0] - 1
+    mask_dim = net_state["sem_seg_head.predictor.mask_embed.layers.2.weight"].shape[0]
+    dec_layers = _count_layers(
+        net_state, "sem_seg_head.predictor.transformer_self_attention_layers"
+    )
+    enc_layers = _count_layers(
+        net_state, "sem_seg_head.pixel_decoder.transformer.encoder.layers"
+    )
+    ff = net_state[
+        "sem_seg_head.predictor.transformer_ffn_layers.0.linear1.weight"
+    ].shape[0]
+    # reference MultiheadAttention: in_proj_weight is (3*hidden, hidden);
+    # nheads isn't recoverable from shapes — read the conventional 8 for
+    # 256-dim, else hidden // 32
+    nheads = 8 if hidden == 256 else max(hidden // 32, 1)
+    return dict(num_classes=num_classes, hidden=hidden, mask_dim=mask_dim,
+                queries=queries, dec_layers=dec_layers, enc_layers=enc_layers,
+                ff=ff, nheads=nheads)
+
+
+def stage_convert(args, report):
+    from s2d_tpu.checkpoint.torch_import import (
+        convert_reference_network,
+        detect_layout,
+        extract_network,
+        load_torch_checkpoint,
+    )
+
+    state = load_torch_checkpoint(args.zeroshot)
+    layout = detect_layout(state)
+    networks = (
+        ("student", "teacher") if layout == "student_teacher" else ("teacher",)
+    )
+    out = {}
+    arch = None
+    for which in networks:
+        net_state = extract_network(state, which)
+        arch = infer_arch(net_state)
+        if args.nheads:
+            arch["nheads"] = args.nheads
+        params = convert_reference_network(
+            net_state, dec_layers=arch["dec_layers"],
+            enc_layers=arch["enc_layers"],
+        )
+        import jax
+
+        n_params = sum(
+            int(v.size) for v in jax.tree_util.tree_leaves(params)
+        )
+        out[which] = (net_state, params)
+        print(f"[convert] {which}: {len(net_state)} torch keys -> "
+              f"{n_params / 1e6:.1f}M params, arch {arch}")
+    report["convert"] = True
+    print(f"[convert] PASS (layout={layout}, full key coverage enforced)")
+    return out, arch
+
+
+def stage_golden_parity(args, networks, arch, report):
+    import numpy as np
+    import torch
+
+    import jax.numpy as jnp
+
+    from test_demo_parity import torch_demo_postprocess  # tests/ on path
+    from torch_oracle import TorchVideoMaskFormer
+
+    from s2d_tpu.evaluation.inference import (
+        finalize_predictions,
+        postprocess_video,
+        unpack_masks,
+    )
+    from s2d_tpu.models import VideoMaskFormer
+
+    which = "teacher" if "teacher" in networks else "student"
+    net_state, params = networks[which]
+
+    tm = TorchVideoMaskFormer(
+        num_classes=arch["num_classes"], hidden_dim=arch["hidden"],
+        mask_dim=arch["mask_dim"], num_queries=arch["queries"],
+        nheads=arch["nheads"], dim_ff=arch["ff"],
+        dec_layers=arch["dec_layers"], enc_layers=arch["enc_layers"],
+    )
+    tm.eval()
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in net_state.items()}
+    missing, unexpected = tm.load_state_dict(sd, strict=False)
+    benign = lambda k: "num_batches_tracked" in k or "static_query" in k
+    bad_missing = [k for k in missing if not benign(k)]
+    bad_unexpected = [k for k in unexpected if not benign(k)]
+    if bad_missing or bad_unexpected:
+        print(f"[golden-parity] FAIL: oracle state mismatch\n"
+              f"  missing: {bad_missing[:10]}\n"
+              f"  unexpected: {bad_unexpected[:10]}")
+        report["golden-parity"] = False
+        return
+
+    jm = VideoMaskFormer(
+        num_classes=arch["num_classes"], hidden_dim=arch["hidden"],
+        mask_dim=arch["mask_dim"], num_queries=arch["queries"],
+        nheads=arch["nheads"], dim_feedforward=arch["ff"],
+        dec_layers=arch["dec_layers"] + 1,
+        transformer_enc_layers=arch["enc_layers"],
+        compute_dtype=jnp.float32,
+    )
+
+    in_h, in_w = args.probe_size
+    t, num_pred = 2, min(50, arch["queries"])
+    out_h, out_w = 2 * in_h, 2 * in_w
+    rng = np.random.RandomState(7)
+    images = rng.randn(t, in_h, in_w, 3).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(images).permute(0, 3, 1, 2), num_frames=t)
+    import test_demo_parity as tdp
+
+    tdp.NUM_CLASSES = arch["num_classes"]
+    ref = torch_demo_postprocess(
+        ref_out["pred_logits"][0], ref_out["pred_masks"][0],
+        num_pred=num_pred, in_h=in_h, in_w=in_w, out_h=out_h, out_w=out_w,
+    )
+    out = jm.apply(params, jnp.asarray(images)[None])
+    got = postprocess_video(
+        out["pred_logits"][0], out["pred_masks"][0],
+        num_predictions=num_pred, num_classes=arch["num_classes"],
+        image_size=(in_h, in_w), output_size=(out_h, out_w),
+        use_nms=True, nms_thresh=tdp.NMS_THRESH, compute_dtype=jnp.float32,
+    )
+    ok = True
+    try:
+        np.testing.assert_array_equal(
+            np.asarray(got["labels"]), ref["labels"].numpy())
+        np.testing.assert_allclose(
+            np.asarray(got["scores"]), ref["scores"].numpy(), atol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(got["keep"]), ref["keep"].numpy())
+        got_masks = unpack_masks(got)
+        ref_masks = ref["masks"].numpy()
+        decided = np.abs(ref["mask_logits"].numpy()) > tdp.LOGIT_MARGIN
+        np.testing.assert_array_equal(got_masks[decided], ref_masks[decided])
+        flip_frac = float((got_masks != ref_masks).mean())
+        assert flip_frac < 5e-3, f"boundary flips {flip_frac:.2%}"
+        finalize_predictions(got)  # demo finalize path executes
+        print(f"[golden-parity] flip_frac={flip_frac:.2e} "
+              f"kept={int(ref['keep'].sum())} "
+              f"score_delta={float(np.abs(np.asarray(got['scores']) - ref['scores'].numpy()).max()):.2e}")
+    except AssertionError as e:
+        ok = False
+        print(f"[golden-parity] FAIL: {e}")
+    report["golden-parity"] = ok
+    if ok:
+        print("[golden-parity] PASS")
+
+
+def stage_eval(args, networks, report):
+    import jax
+
+    from s2d_tpu.config import load_config
+    from s2d_tpu.data import register_ytvis
+    from s2d_tpu.evaluation.evaluator import evaluate_dataset
+    from s2d_tpu.models import build_model
+
+    json_path = os.path.join(args.ytvis, args.ytvis_json)
+    frames_root = os.path.join(args.ytvis, args.ytvis_frames)
+    if not os.path.exists(json_path):
+        print(f"[eval] FAIL: {json_path} not found")
+        report["eval"] = False
+        return
+    register_ytvis("verify_artifacts_val", json_path, frames_root,
+                   class_agnostic=True)
+
+    cfg = load_config(
+        args.config_file if os.path.exists(args.config_file) else None,
+        args.opts,
+    )
+    msda = "pallas_auto" if jax.default_backend() == "tpu" else None
+    model = build_model(cfg, msda_impl=msda)
+    which = "teacher" if not cfg.model.mask_former.test.eval_student else "student"
+    which = which if which in networks else next(iter(networks))
+    _, params = networks[which]
+    metrics = evaluate_dataset(
+        cfg, model, params, "verify_artifacts_val",
+        output_dir=args.output_dir, max_videos=args.max_videos,
+    )
+    print("[eval] " + "  ".join(f"{k}: {v:.4f}" for k, v in metrics.items()))
+    ok = True
+    if args.expected_ap is not None:
+        delta = abs(metrics["AP"] - args.expected_ap)
+        ok = delta <= args.ap_tolerance
+        print(f"[eval] north-star verdict: |AP {metrics['AP']:.3f} - "
+              f"expected {args.expected_ap:.3f}| = {delta:.3f} "
+              f"{'<=' if ok else '>'} {args.ap_tolerance}")
+    report["eval"] = ok
+    print(f"[eval] {'PASS' if ok else 'FAIL'}")
+
+
+def stage_cotracker(args, report):
+    from s2d_tpu.keymask.cotracker import build_cotracker
+
+    try:
+        build_cotracker(checkpoint=args.cotracker)
+        report["cotracker"] = True
+        print("[cotracker] PASS: full bijective import")
+    except (ValueError, KeyError) as e:
+        print(f"[cotracker] key report:\n{e}")
+        if args.strict_cotracker:
+            report["cotracker"] = False
+            print("[cotracker] FAIL (strict)")
+        else:
+            print("[cotracker] INFORMATIONAL: upstream architecture "
+                  "differs by design (AB_KEYMASK.md backs the rebuild's "
+                  "tracker); the report above lists exactly what does "
+                  "not correspond")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.opts and args.opts[0] == "--":
+        args.opts = args.opts[1:]
+    os.makedirs(args.output_dir, exist_ok=True)
+    report = {}
+    networks, arch = stage_convert(args, report)
+    if not args.skip_parity:
+        stage_golden_parity(args, networks, arch, report)
+    if args.ytvis:
+        stage_eval(args, networks, report)
+    if args.cotracker:
+        stage_cotracker(args, report)
+    failed = [k for k, v in report.items() if not v]
+    print(f"verify_reference_artifacts: "
+          f"{'PASS' if not failed else 'FAIL ' + str(failed)} "
+          f"(stages run: {sorted(report)})")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
