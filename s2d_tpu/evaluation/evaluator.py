@@ -254,9 +254,10 @@ def evaluate_dataset(
 
     def finalize(video_id, device_out):
         t0 = time.perf_counter()
-        scores, labels, keep = read_small_bundle(device_out)
+        scores, labels, keep, boxes = read_small_bundle(device_out)
         stage["readback_small"] += time.perf_counter() - t0
-        handle = start_kept_masks_read(device_out, keep)
+        # boxes upgrade the mask leg to per-survivor bbox crops
+        handle = start_kept_masks_read(device_out, keep, boxes=boxes)
         fin_masks.put(video_id, scores, labels, keep, handle)
 
     fin = FinalizeThread(finalize, depth=2)

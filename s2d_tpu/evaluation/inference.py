@@ -25,7 +25,12 @@ the chip. The host needs the
 masks only to RLE-encode them (evaluator) or paint overlays (demo), and
 a whole-video track at 50 predictions x T x 720 x 1280 is ~GBs as bools;
 packing cuts the device->host readback (and the output HBM buffer) 8x.
-`finalize_predictions` unpacks transparently.
+On top of that, survivors ship as per-track BBOX CROPS from the packed
+canvas (instance masks are mostly empty — typically another 4-15x fewer
+bytes): the small bundle carries byte-row-aligned track boxes, the host
+picks a bucketed crop window, `_crop_packed_jit` slices every survivor's
+window on device, and the host pastes the crops back bit-exactly before
+RLE. `finalize_predictions` unpacks transparently.
 """
 from __future__ import annotations
 
@@ -174,6 +179,27 @@ def _postprocess_video_jit(
         keep = greedy_mask_nms(iou, labels, nms_thresh)
     else:
         keep = jnp.ones((num_predictions,), dtype=bool)
+
+    # Per-track bounding boxes for the crop transport (VERDICT r4 #1):
+    # instance masks are mostly empty at full canvas, so the host ships
+    # survivors as byte-row-aligned bbox crops instead of full-canvas
+    # bitmaps. Boxes are the union over frames (constant offset per track
+    # keeps host reassembly a single paste per survivor), in PACKED byte-
+    # row units for H: [y0_byte, x0, h_bytes, w].
+    def _extent(a):  # (P, N) bool -> (first, last), empty -> (0, 1)
+        n = a.shape[1]
+        nonempty = a.any(axis=1)
+        first = jnp.where(nonempty, jnp.argmax(a, axis=1), 0)
+        last = jnp.where(nonempty, n - jnp.argmax(a[:, ::-1], axis=1), 1)
+        return first, last
+
+    pres = masks.any(axis=1)  # (P, H, W)
+    y0, y1 = _extent(pres.any(axis=2))
+    x0, x1 = _extent(pres.any(axis=1))
+    y0b = y0 // 8
+    boxes = jnp.stack(
+        [y0b, x0, (y1 + 7) // 8 - y0b, x1 - x0], axis=-1
+    ).astype(jnp.int32)
     # bit-pack along H for the 8x-smaller readback (see module docstring);
     # "mask_height" rides along so the host can crop the pad byte's bits.
     # S2D_PACK_MASKS=0 opts out (escape hatch for a backend where the
@@ -192,20 +218,26 @@ def _postprocess_video_jit(
     # survive NMS. `keep` stays in ORIGINAL prediction order; consumers
     # that want original-order masks invert via `order`.
     order = jnp.argsort(jnp.logical_not(keep), stable=True)
+    boxes = boxes[order]  # kept-first, matching the stored mask layout
     return {
         "scores": top_scores,
         "labels": labels,
         "masks": pack_mask_bits(masks)[order],
         "order": order.astype(jnp.int32),
         "keep": keep,
+        "boxes": boxes,  # kept-first [y0_byte, x0, h_bytes, w]
         # every per-prediction scalar in ONE array: the host reads the
         # whole bundle in a single D2H call (which also serves as the
-        # device-completion barrier) instead of 4 separate round-trips
+        # device-completion barrier) instead of multiple round-trips.
+        # Layout: 8 groups of P floats — scores/labels/keep/order in
+        # ORIGINAL prediction order, then the 4 box fields in KEPT-FIRST
+        # order (mask layout) for the crop transport
         "small": jnp.concatenate([
             top_scores.astype(jnp.float32),
             labels.astype(jnp.float32),
             keep.astype(jnp.float32),
             order.astype(jnp.float32),
+            boxes.T.reshape(-1).astype(jnp.float32),
         ]),
     }
 
@@ -268,7 +300,45 @@ def unpack_masks(device_out: Dict[str, jnp.ndarray]) -> np.ndarray:
     return masks
 
 
-def start_kept_masks_read(device_out: Dict[str, jnp.ndarray], keep: np.ndarray):
+@functools.partial(jax.jit, static_argnames=("ch8", "cw"))
+def _crop_packed_jit(packed, boxes, ch8: int, cw: int):
+    """Per-survivor bbox crops from the packed canvas: packed
+    (n, T, H8, W) uint8, boxes (n, 4) int32 [y0_byte, x0, ...] -> crops
+    (n, T, ch8, cw). Offsets are clamped so every crop window fits; the
+    host mirrors the clamp when pasting (crop_offsets)."""
+    h8, w = packed.shape[-2], packed.shape[-1]
+    y0 = jnp.clip(boxes[:, 0], 0, h8 - ch8)
+    x0 = jnp.clip(boxes[:, 1], 0, w - cw)
+
+    def one(pm, y, x):
+        return jax.lax.dynamic_slice(
+            pm, (0, y, x), (pm.shape[0], ch8, cw)
+        )
+
+    return jax.vmap(one)(packed, y0, x0)
+
+
+def crop_bucket(boxes: np.ndarray, h8: int, w: int):
+    """Host-side crop-window bucket for the kept boxes: byte rows to a
+    multiple of 8, width to a lane-friendly multiple of 128 (bounds the
+    jit-cache to a handful of shapes per canvas)."""
+    ch8 = max(min(int(-(-int(boxes[:, 2].max()) // 8) * 8), h8), min(8, h8))
+    cw = max(min(int(-(-int(boxes[:, 3].max()) // 128) * 128), w), min(128, w))
+    return ch8, cw
+
+
+def crop_offsets(boxes: np.ndarray, h8: int, w: int, ch8: int, cw: int):
+    """The exact clamped offsets _crop_packed_jit used (host mirror)."""
+    y0 = np.clip(boxes[:, 0], 0, h8 - ch8)
+    x0 = np.clip(boxes[:, 1], 0, w - cw)
+    return y0, x0
+
+
+def start_kept_masks_read(
+    device_out: Dict[str, jnp.ndarray],
+    keep: np.ndarray,
+    boxes: np.ndarray | None = None,
+):
     """First half of the survivors-only mask readback: slice the DEVICE
     array to the NMS survivors and fire the device->host copy
     asynchronously. Returns an opaque handle for finish_kept_masks_read.
@@ -278,12 +348,36 @@ def start_kept_masks_read(device_out: Dict[str, jnp.ndarray], keep: np.ndarray):
     length is rounded up to a multiple of 8 so the transfer program
     cache sees at most P/8 shapes. Splitting start/finish lets a
     pipelined caller overlap this transfer with other host reads (the
-    evaluator runs them on two finalize threads)."""
+    evaluator runs them on two finalize threads).
+
+    `boxes` (host, kept-first, from the small bundle) upgrades the leg to
+    BBOX CROPS (VERDICT r4 #1): instance masks are mostly empty, so the
+    device ships byte-row-aligned per-track crop windows instead of the
+    full canvas — typically 4-15x fewer bytes — and the host pastes them
+    back before RLE. Falls back to the full-row slice whenever cropping
+    wouldn't cut at least ~30% of the bytes (no extra dispatch for
+    frame-filling tracks)."""
     masks = device_out["masks"]
     if "order" in device_out and not isinstance(masks, np.ndarray):
         n = int(keep.sum())
         n_pad = min(keep.size, -(-n // 8) * 8)
         sliced = masks[:n_pad]
+        if (
+            boxes is not None
+            and "boxes" in device_out
+            and n > 0
+            and os.environ.get("S2D_CROP_MASKS", "1") != "0"
+        ):
+            h8, w = masks.shape[-2], masks.shape[-1]
+            ch8, cw = crop_bucket(np.asarray(boxes)[:n], h8, w)
+            if ch8 * cw < 0.7 * h8 * w:
+                crops = _crop_packed_jit(
+                    sliced, device_out["boxes"][:n_pad], ch8=ch8, cw=cw
+                )
+                if hasattr(crops, "copy_to_host_async"):
+                    crops.copy_to_host_async()
+                y0, x0 = crop_offsets(np.asarray(boxes)[:n], h8, w, ch8, cw)
+                return ("crops", crops, n, device_out, (y0, x0, w))
         if hasattr(sliced, "copy_to_host_async"):
             sliced.copy_to_host_async()
         return ("sliced", sliced, n, device_out)
@@ -302,9 +396,21 @@ def finish_kept_masks_read(
     seconds (the evaluator's attribution table)."""
     import time
 
-    kind, arr, n, device_out = handle
+    kind, arr, n, device_out, *extra = handle
     t0 = time.perf_counter()
-    if kind == "sliced":
+    if kind == "crops":
+        crops = np.asarray(arr)[:n]  # (n, T, ch8, cw) uint8
+        t1 = time.perf_counter()
+        y0, x0, w = extra[0]
+        height = int(device_out["mask_height"])
+        bits = np.unpackbits(crops, axis=-2).view(np.bool_)
+        n_, t_, ch, cw = bits.shape
+        out = np.zeros((n_, t_, height, w), np.bool_)
+        for i in range(n_):
+            yp = int(y0[i]) * 8
+            h_i = min(ch, height - yp)
+            out[i, :, yp: yp + h_i, x0[i]: x0[i] + cw] = bits[i, :, :h_i]
+    elif kind == "sliced":
         packed = np.asarray(arr)[:n]
         t1 = time.perf_counter()
         out = unpack_masks(
@@ -324,39 +430,50 @@ def read_kept_masks(
     device_out: Dict[str, jnp.ndarray],
     keep: np.ndarray,
     timers: Dict[str, float] | None = None,
+    boxes: np.ndarray | None = None,
 ) -> np.ndarray:
     """Transfer + unpack only the NMS survivors (one-shot convenience
     wrapper over the start/finish halves above)."""
     return finish_kept_masks_read(
-        start_kept_masks_read(device_out, keep), keep, timers=timers
+        start_kept_masks_read(device_out, keep, boxes=boxes), keep,
+        timers=timers,
     )
 
 
 def read_small_bundle(
     device_out: Dict[str, jnp.ndarray]
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(scores f32, labels int, keep bool) in ONE device round-trip when
-    the packed "small" bundle is present, else three separate reads."""
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
+    """(scores f32, labels int, keep bool, boxes int32 or None) in ONE
+    device round-trip when the packed "small" bundle is present, else
+    separate reads. Boxes are KEPT-FIRST [y0_byte, x0, h_bytes, w] (the
+    mask layout); everything else is in original prediction order."""
     if "small" in device_out:
         small = np.asarray(device_out["small"])
-        p = small.size // 4
+        if small.size % 8 == 0 and "boxes" in device_out:
+            p = small.size // 8
+            boxes = np.rint(small[4 * p:]).astype(np.int32).reshape(4, p).T
+        else:  # legacy 4-group bundle
+            p = small.size // 4
+            boxes = None
         return (
             small[:p],
             small[p: 2 * p].astype(np.int64),
             small[2 * p: 3 * p] > 0.5,
+            boxes,
         )
     return (
         np.asarray(device_out["scores"]),
         np.asarray(device_out["labels"]),
         np.asarray(device_out["keep"]),
+        None,
     )
 
 
 def finalize_predictions(device_out: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
     """Apply the NMS keep-mask host-side and return numpy predictions."""
-    scores, labels, keep = read_small_bundle(device_out)
+    scores, labels, keep, boxes = read_small_bundle(device_out)
     return {
         "scores": scores[keep],
         "labels": labels[keep],
-        "masks": read_kept_masks(device_out, keep),
+        "masks": read_kept_masks(device_out, keep, boxes=boxes),
     }

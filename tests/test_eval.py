@@ -196,6 +196,58 @@ def test_pack_masks_env_flip_takes_effect(monkeypatch):
     assert np.asarray(plain["masks"]).dtype == np.bool_
 
 
+def test_bbox_crop_transport_bit_exact():
+    """VERDICT r4 #1: the bbox-crop mask transport (device crops +
+    host paste) reproduces the full-canvas masks BIT-EXACTLY, survivors
+    only, at a canvas where cropping actually engages (crop window well
+    under the 0.7 fallback ratio) — preserving
+    instances_to_coco_json_video semantics (reference
+    ytvis_eval.py:324-361)."""
+    import jax.numpy as jnp
+
+    from s2d_tpu.evaluation.inference import (
+        finalize_predictions,
+        postprocess_video,
+        read_kept_masks,
+        read_small_bundle,
+        start_kept_masks_read,
+    )
+
+    rng = np.random.default_rng(23)
+    q, k, t, h4, w4 = 8, 1, 3, 16, 24
+    out_h, out_w = 512, 768  # big canvas, small objects -> real cropping
+    logits = jnp.asarray(rng.normal(size=(q, k + 1)), jnp.float32)
+    # localized blobs: strong positive logit in one small region per query
+    m = np.full((q, t, h4, w4), -5.0, np.float32)
+    for i in range(q):
+        y, x = rng.integers(0, h4 - 3), rng.integers(0, w4 - 4)
+        m[i, :, y: y + 3, x: x + 4] = 5.0 + rng.normal(size=(t, 3, 4))
+    masks = jnp.asarray(m)
+    kwargs = dict(
+        num_predictions=q, num_classes=k,
+        image_size=(h4 * 4, w4 * 4), output_size=(out_h, out_w),
+        use_nms=True, nms_thresh=0.5, compute_dtype=jnp.float32,
+    )
+    dev = postprocess_video(logits, masks, pack_bits=True, **kwargs)
+    plain = postprocess_video(logits, masks, pack_bits=False, **kwargs)
+    scores, labels, keep, boxes = read_small_bundle(dev)
+    n = int(keep.sum())
+    assert n > 0
+    # the crop path engages (not the fallback): assert via the handle kind
+    handle = start_kept_masks_read(dev, keep, boxes=boxes)
+    assert handle[0] == "crops", handle[0]
+    want = np.asarray(plain["masks"])[keep]
+    got = read_kept_masks(dev, keep, boxes=boxes)
+    np.testing.assert_array_equal(got, want)
+    # finalize_predictions routes through the same crop path
+    fin = finalize_predictions(dev)
+    np.testing.assert_array_equal(fin["masks"], want)
+    # the crop transfer really is smaller than the full packed buffer
+    crops = np.asarray(handle[1])
+    full_packed = np.asarray(dev["masks"])
+    assert crops.size < 0.7 * full_packed.size
+
+
 def test_keep_compaction_roundtrips():
     """Kept-first packed layout: the sliced-transfer path, the full-buffer
     inverse-permutation path, and the small bundle must all reproduce the
@@ -225,11 +277,12 @@ def test_keep_compaction_roundtrips():
     keep = np.asarray(dev["keep"])
     assert 0 < keep.sum() < q  # NMS at 0.3 drops some but not all
 
-    # small bundle == individual reads
-    scores, labels, kb = read_small_bundle(dev)
+    # small bundle == individual reads (+ kept-first crop boxes)
+    scores, labels, kb, boxes = read_small_bundle(dev)
     np.testing.assert_array_equal(scores, np.asarray(dev["scores"]))
     np.testing.assert_array_equal(labels, np.asarray(dev["labels"]))
     np.testing.assert_array_equal(kb, keep)
+    np.testing.assert_array_equal(boxes, np.asarray(dev["boxes"]))
 
     # sliced transfer == plain masks filtered
     want = np.asarray(plain["masks"])[keep]
@@ -242,7 +295,7 @@ def test_keep_compaction_roundtrips():
     # no survivors: finalize yields empty arrays, not a crash
     none = dict(dev)
     none["keep"] = jnp.zeros((q,), bool)
-    p = np.asarray(none["small"]).size // 4
+    p = np.asarray(none["small"]).size // 8
     small = np.asarray(none["small"]).copy()
     small[2 * p: 3 * p] = 0.0
     none["small"] = jnp.asarray(small)
