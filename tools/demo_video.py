@@ -8,6 +8,14 @@
 Whole clip in ONE jit forward (as the reference, demo.py:162-163), top-k +
 NMS post-processing, per-frame overlay PNGs with stable per-instance colors
 and optional palette mask export (demo.py:119-127).
+
+Multi-video fan-out (the reference AsyncPredictor's one-model-per-GPU
+queue, `demo_video/predictor.py:130-218`): when --input's glob matches
+DIRECTORIES, each directory is one video (its jpgs sorted), clips are
+round-robined over the local devices (`--num-devices` caps how many), the
+forwards run concurrently (jax dispatch is async; computation follows the
+input's device placement), and overlays finalize in submission order
+under `--output/<video-name>/`.
 """
 from __future__ import annotations
 
@@ -40,6 +48,9 @@ def parse_args(argv=None):
     parser.add_argument("--weights", default="")
     parser.add_argument("--save-frames", action="store_true")
     parser.add_argument("--save-masks", action="store_true")
+    parser.add_argument("--num-devices", type=int, default=0,
+                        help="cap the local devices used for multi-video "
+                             "round-robin (0 = all local devices)")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return parser.parse_args(argv)
 
@@ -63,6 +74,12 @@ def main(argv=None):
     cfg = load_config(args.config_file or None, args.opts)
     os.makedirs(args.output, exist_ok=True)
 
+    def load_files(files):
+        return [cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2RGB) for f in files]
+
+    # (name or None, raw frame list) per video; name=None -> single-video
+    # mode, overlays land at the output root (the original CLI contract)
+    videos = []
     if args.video_input:
         cap = cv2.VideoCapture(args.video_input)
         raw = []
@@ -73,18 +90,35 @@ def main(argv=None):
             raw.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
         cap.release()
         assert raw, f"no frames decoded from {args.video_input!r}"
+        videos.append((None, raw))
     else:
         assert args.input, "provide --input or --video-input"
-        files = sorted(glob.glob(args.input))
-        assert files, f"no frames match {args.input!r}"
-        raw = [cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2RGB) for f in files]
-    oh, ow = raw[0].shape[:2]
-    nh, nw = resize_shortest_edge(oh, ow, cfg.input.min_size_test, cfg.input.max_size_test)
-    # stay uint8: preprocess_clip transfers the caller's dtype and casts
-    # on device (4x less upload than a host f32 cast)
-    frames = np.stack([
-        cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR) for f in raw
-    ])
+        matches = sorted(glob.glob(args.input))
+        assert matches, f"no frames match {args.input!r}"
+        if all(os.path.isdir(m) for m in matches):
+            # AsyncPredictor-style fan-out: one video per directory
+            for d in matches:
+                files = sorted(glob.glob(os.path.join(d, "*.jpg")))
+                files += sorted(glob.glob(os.path.join(d, "*.png")))
+                assert files, f"no frames under {d!r}"
+                videos.append((os.path.basename(d.rstrip("/")), load_files(files)))
+        else:
+            videos.append((None, load_files(matches)))
+
+    def prep(raw):
+        oh, ow = raw[0].shape[:2]
+        nh, nw = resize_shortest_edge(
+            oh, ow, cfg.input.min_size_test, cfg.input.max_size_test
+        )
+        # stay uint8: preprocess_clip transfers the caller's dtype and
+        # casts on device (4x less upload than a host f32 cast)
+        frames = np.stack([
+            cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
+            for f in raw
+        ])
+        return frames, (nh, nw), (oh, ow)
+
+    _, (nh, nw), _ = prep(videos[0][1])  # init shape only
 
     on_tpu = jax.default_backend() == "tpu"
     model = build_model(
@@ -104,7 +138,6 @@ def main(argv=None):
             print(f"WARNING: weights {weights!r} not found; random init")
 
     tcfg = cfg.model.mask_former.test
-    h, w = nh, nw
 
     # normalize/pad trace inside the jit: one uint8 upload + one dispatch
     # per clip instead of an eager per-op chain over the device transport
@@ -117,41 +150,78 @@ def main(argv=None):
         )
         return model.apply(variables, images)
 
-    start = time.perf_counter()
-    out = jax.jit(fwd)(variables, frames)
-    device_out = postprocess_video(
-        out["pred_logits"], out["pred_masks"],
-        num_predictions=tcfg.num_predictions,
-        num_classes=cfg.model.sem_seg_head.num_classes,
-        image_size=(h, w), output_size=(oh, ow),
-        use_nms=tcfg.use_nms, nms_thresh=tcfg.nms_thresh,
-    )
-    preds = finalize_predictions(device_out)
-    elapsed = time.perf_counter() - start
+    fwd_jit = jax.jit(fwd)
 
-    keep = preds["scores"] >= args.confidence_threshold
-    scores, masks = preds["scores"][keep], preds["masks"][keep]
-    print(f"detected {len(scores)} instances per frame in {elapsed:.2f}s")
+    # round-robin clip placement over the local devices: computation
+    # follows the input's device, so video i's forward runs on
+    # devices[i % n] while video i+1's frames upload to the next device —
+    # the reference AsyncPredictor's one-model-per-GPU queue
+    # (predictor.py:130-218) as data placement instead of worker processes
+    devices = jax.local_devices()
+    if args.num_devices > 0:
+        devices = devices[: args.num_devices]
+    vars_on = {d: jax.device_put(variables, d) for d in devices} \
+        if len(devices) > 1 and len(videos) > 1 else {devices[0]: variables}
 
-    for ti, frame in enumerate(raw):
-        overlay = frame.astype(np.float32)
-        for ni in range(len(scores)):
-            color = np.asarray(PALETTE[ni % len(PALETTE)], np.float32)
-            m = masks[ni, ti]
-            overlay[m] = 0.5 * overlay[m] + 0.5 * color
-        out_path = os.path.join(args.output, f"frame_{ti:05d}.png")
-        cv2.imwrite(out_path, cv2.cvtColor(overlay.astype(np.uint8), cv2.COLOR_RGB2BGR))
-        if args.save_masks:
-            idmap = np.zeros(frame.shape[:2], np.uint8)
-            for ni in range(len(scores) - 1, -1, -1):
-                idmap[masks[ni, ti]] = ni + 1
-            palette_img = np.zeros((*frame.shape[:2], 3), np.uint8)
+    def submit(i, raw):
+        frames_i, (ih, iw), (voh, vow) = prep(raw)
+        dev = devices[i % len(devices)] if len(vars_on) > 1 else devices[0]
+        frames_dev = jax.device_put(frames_i, dev)
+        out = fwd_jit(vars_on[dev], frames_dev)
+        device_out = postprocess_video(
+            out["pred_logits"], out["pred_masks"],
+            num_predictions=tcfg.num_predictions,
+            num_classes=cfg.model.sem_seg_head.num_classes,
+            image_size=(ih, iw), output_size=(voh, vow),
+            use_nms=tcfg.use_nms, nms_thresh=tcfg.nms_thresh,
+        )
+        return device_out, dev
+
+    def write_outputs(name, raw, preds):
+        out_dir = (
+            args.output if name is None else os.path.join(args.output, name)
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        keep = preds["scores"] >= args.confidence_threshold
+        scores, masks = preds["scores"][keep], preds["masks"][keep]
+        for ti, frame in enumerate(raw):
+            overlay = frame.astype(np.float32)
             for ni in range(len(scores)):
-                palette_img[idmap == ni + 1] = PALETTE[ni % len(PALETTE)]
-            cv2.imwrite(
-                os.path.join(args.output, f"mask_{ti:05d}.png"),
-                cv2.cvtColor(palette_img, cv2.COLOR_RGB2BGR),
-            )
+                color = np.asarray(PALETTE[ni % len(PALETTE)], np.float32)
+                m = masks[ni, ti]
+                overlay[m] = 0.5 * overlay[m] + 0.5 * color
+            out_path = os.path.join(out_dir, f"frame_{ti:05d}.png")
+            cv2.imwrite(out_path,
+                        cv2.cvtColor(overlay.astype(np.uint8), cv2.COLOR_RGB2BGR))
+            if args.save_masks:
+                idmap = np.zeros(frame.shape[:2], np.uint8)
+                for ni in range(len(scores) - 1, -1, -1):
+                    idmap[masks[ni, ti]] = ni + 1
+                palette_img = np.zeros((*frame.shape[:2], 3), np.uint8)
+                for ni in range(len(scores)):
+                    palette_img[idmap == ni + 1] = PALETTE[ni % len(PALETTE)]
+                cv2.imwrite(
+                    os.path.join(out_dir, f"mask_{ti:05d}.png"),
+                    cv2.cvtColor(palette_img, cv2.COLOR_RGB2BGR),
+                )
+        return len(scores)
+
+    start = time.perf_counter()
+    # submit up to one clip per device before finalizing in order (jax
+    # dispatch is async — the in-flight window keeps every device busy)
+    pending = []
+    for i, (name, raw) in enumerate(videos):
+        pending.append((name, raw, *submit(i, raw)))
+        if len(pending) >= max(len(devices), 1):
+            name0, raw0, dev_out0, d0 = pending.pop(0)
+            n_inst = write_outputs(name0, raw0, finalize_predictions(dev_out0))
+            print(f"[{name0 or 'video'} @ {d0}] {n_inst} instances per frame")
+    for name0, raw0, dev_out0, d0 in pending:
+        n_inst = write_outputs(name0, raw0, finalize_predictions(dev_out0))
+        print(f"[{name0 or 'video'} @ {d0}] {n_inst} instances per frame")
+    elapsed = time.perf_counter() - start
+    print(f"processed {len(videos)} video(s) on {len(vars_on)} device(s) "
+          f"in {elapsed:.2f}s")
     return 0
 
 
