@@ -153,9 +153,9 @@ def main():
     state = restore_checkpoint(ckpt_dir, state, step)
     print(f"loaded checkpoint step {step}")
 
-    # count crop engagements via a thin spy
-    import s2d_tpu.evaluation.evaluator as ev_mod
-
+    # count crop engagements via a thin spy — patch the INFERENCE module
+    # attribute: evaluate_dataset re-imports the symbol from there on
+    # every call, so that's the binding it actually uses
     kinds = []
     orig = inference.start_kept_masks_read
 
@@ -164,7 +164,7 @@ def main():
         kinds.append(hdl[0])
         return hdl
 
-    ev_mod.start_kept_masks_read = spy
+    inference.start_kept_masks_read = spy
 
     report = {}
     for crop_flag in ("1", "0"):
