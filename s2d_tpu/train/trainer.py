@@ -75,7 +75,20 @@ def prepare_distillation_targets(
     masks = teacher_out["pred_masks"]
     scores = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., :-1].max(-1)
     valid = scores >= score_threshold
-    up = interpolate_bilinear(masks.astype(jnp.float32), pad_hw)
+    # S2D_DIST_UPSAMPLE_BF16=1: run the x4 target upsample (the largest
+    # train-side intermediate, (B, Q, T, H, W)) in bf16 instead of f32.
+    # The reference computes this interpolation under fp16 autocast
+    # (kd_video_maskformer_model.py:441-470), so bf16 is the same noise
+    # class — f32 here is the rebuild being stricter than the reference.
+    # Off by default pending a measured win (tools/bench_step_attrib.py).
+    import os
+
+    dtype = (
+        jnp.bfloat16
+        if os.environ.get("S2D_DIST_UPSAMPLE_BF16", "0") == "1"
+        else jnp.float32
+    )
+    up = interpolate_bilinear(masks.astype(dtype), pad_hw)
     return up > 0.0, valid
 
 
