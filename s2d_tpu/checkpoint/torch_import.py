@@ -100,6 +100,44 @@ def _dense(state, key):
     return np.ascontiguousarray(state[key].T)
 
 
+
+
+def _convert_resnet_backbone(
+    state: Mapping[str, np.ndarray], consumed: set
+) -> Dict[str, Any]:
+    """d2 R50 keys (backbone.stem.conv1 / backbone.resN.i.convM[.norm],
+    shortcut) -> ResNet backbone params, BN folded."""
+
+    def take_conv(key):
+        consumed.add(key)
+        return _conv(state, key)
+
+    def take_bn(prefix):
+        for suffix in (".weight", ".bias", ".running_mean", ".running_var"):
+            consumed.add(prefix + suffix)
+        return _fold_bn(state, prefix)
+
+    bb: Dict[str, Any] = {}
+    bb["stem_conv1"] = {"kernel": take_conv("backbone.stem.conv1.weight")}
+    s, b = take_bn("backbone.stem.conv1.norm")
+    bb["stem_norm1"] = {"scale": s, "bias": b}
+    stage_blocks = {"res2": 3, "res3": 4, "res4": 6, "res5": 3}
+    for stage, nblocks in stage_blocks.items():
+        for i in range(nblocks):
+            blk: Dict[str, Any] = {}
+            tprefix = f"backbone.{stage}.{i}"
+            for ci in (1, 2, 3):
+                blk[f"conv{ci}"] = {"kernel": take_conv(f"{tprefix}.conv{ci}.weight")}
+                s, b = take_bn(f"{tprefix}.conv{ci}.norm")
+                blk[f"norm{ci}"] = {"scale": s, "bias": b}
+            if f"{tprefix}.shortcut.weight" in state:
+                blk["shortcut"] = {"kernel": take_conv(f"{tprefix}.shortcut.weight")}
+                s, b = take_bn(f"{tprefix}.shortcut.norm")
+                blk["shortcut_norm"] = {"scale": s, "bias": b}
+            bb[f"{stage}_block{i}"] = blk
+    return bb
+
+
 def convert_reference_network(
     state: Mapping[str, np.ndarray], dec_layers: int = 9, enc_layers: int = 6
 ) -> Dict[str, Any]:
@@ -128,25 +166,7 @@ def convert_reference_network(
     if "backbone.patch_embed.proj.weight" in state:
         p["backbone"] = _convert_swin_backbone(state, consumed)
     else:
-        bb: Dict[str, Any] = {}
-        bb["stem_conv1"] = {"kernel": take_conv("backbone.stem.conv1.weight")}
-        s, b = take_bn("backbone.stem.conv1.norm")
-        bb["stem_norm1"] = {"scale": s, "bias": b}
-        stage_blocks = {"res2": 3, "res3": 4, "res4": 6, "res5": 3}
-        for stage, nblocks in stage_blocks.items():
-            for i in range(nblocks):
-                blk: Dict[str, Any] = {}
-                tprefix = f"backbone.{stage}.{i}"
-                for ci in (1, 2, 3):
-                    blk[f"conv{ci}"] = {"kernel": take_conv(f"{tprefix}.conv{ci}.weight")}
-                    s, b = take_bn(f"{tprefix}.conv{ci}.norm")
-                    blk[f"norm{ci}"] = {"scale": s, "bias": b}
-                if f"{tprefix}.shortcut.weight" in state:
-                    blk["shortcut"] = {"kernel": take_conv(f"{tprefix}.shortcut.weight")}
-                    s, b = take_bn(f"{tprefix}.shortcut.norm")
-                    blk["shortcut_norm"] = {"scale": s, "bias": b}
-                bb[f"{stage}_block{i}"] = blk
-        p["backbone"] = bb
+        p["backbone"] = _convert_resnet_backbone(state, consumed)
 
     # ---- pixel decoder ----
     pd: Dict[str, Any] = {}
@@ -348,3 +368,58 @@ def load_reference_model(path: str, which: str = "teacher") -> Dict[str, Any]:
     """One-call loader: .pth/.pkl path -> VideoMaskFormer variables dict."""
     state = load_torch_checkpoint(path)
     return convert_reference_network(extract_network(state, which))
+
+
+def is_backbone_only(state: Mapping[str, np.ndarray]) -> bool:
+    """True for d2-layout backbone pretrain checkpoints (the output of
+    tools/convert_pretrained_weights.py / the reference's
+    convert-torchvision-to-d2.py + convert-pretrained-swin-model-to-d2.py):
+    stem./resN. (R50) or patch_embed./layers. (Swin) keys with no
+    sem_seg_head."""
+    has_head = any(k.startswith("sem_seg_head.") for k in state)
+    bb = any(
+        k.startswith(("stem.", "res2.", "patch_embed.", "layers.",
+                      "backbone.stem.", "backbone.patch_embed."))
+        for k in state
+    )
+    return bb and not has_head
+
+
+def _pretrain_skip(key: str) -> bool:
+    """Buffers/classifier heads that pretrain checkpoints carry but the
+    detection backbone never consumes (d2's matching heuristics skip
+    them): BN counters, the ImageNet fc/head, attention buffers, and the
+    classifier-side final norm ("backbone.norm.*" exactly — the Swin
+    stage norms backbone.norm{0..3} ARE consumed)."""
+    return (
+        key.endswith(("num_batches_tracked", "attn_mask",
+                      "relative_position_index"))
+        or key.startswith(("backbone.fc.", "backbone.head.",
+                           "backbone.stem.fc."))
+        or key in ("backbone.norm.weight", "backbone.norm.bias")
+    )
+
+
+def load_backbone_weights(path: str, variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Graft a d2-layout BACKBONE pretrain checkpoint into `variables`
+    (the analog of d2's matching-heuristics load of an ImageNet backbone;
+    every non-backbone parameter keeps its current — usually fresh —
+    init). Raises on unconsumed backbone keys."""
+    state = load_torch_checkpoint(path)
+    if not any(k.startswith("backbone.") for k in state):
+        state = {f"backbone.{k}": v for k, v in state.items()}
+    consumed: set = set()
+    if "backbone.patch_embed.proj.weight" in state:
+        bb = _convert_swin_backbone(state, consumed)
+    else:
+        bb = _convert_resnet_backbone(state, consumed)
+    leftover = {
+        k for k in state if k not in consumed and not _pretrain_skip(k)
+    }
+    if leftover:
+        raise KeyError(
+            f"Unconsumed backbone checkpoint keys: {sorted(leftover)[:10]} ..."
+        )
+    out = {**variables, "params": dict(variables["params"])}
+    out["params"]["backbone"] = bb
+    return out

@@ -100,9 +100,27 @@ def main(argv=None):
         teacher = load_reference_model(teacher_path, which="teacher")
         print(f"Merged checkpoints student={student_path} teacher={teacher_path}")
     elif weights and os.path.exists(weights):
-        student = load_reference_model(weights, which="student")
-        teacher = load_reference_model(weights, which="teacher")
-        print(f"Loaded reference checkpoint {weights}")
+        from s2d_tpu.checkpoint.torch_import import (
+            is_backbone_only,
+            load_backbone_weights,
+            load_torch_checkpoint,
+        )
+
+        if is_backbone_only(load_torch_checkpoint(weights)):
+            # ImageNet-pretrained backbone prep pkl (tools/
+            # convert_pretrained_weights.py / the reference's convert-
+            # torchvision-to-d2.py): graft the backbone into a fresh
+            # init — d2's matching-heuristics load of MODEL.WEIGHTS
+            sample = jnp.zeros((1, cfg.input.sampling_frame_num, 64, 64, 3))
+            student = load_backbone_weights(
+                weights, jax.jit(model.init)(rng, sample)
+            )
+            teacher = jax.tree_util.tree_map(np.copy, student)
+            print(f"Grafted pretrained backbone {weights}")
+        else:
+            student = load_reference_model(weights, which="student")
+            teacher = load_reference_model(weights, which="teacher")
+            print(f"Loaded reference checkpoint {weights}")
     else:
         sample = jnp.zeros((1, cfg.input.sampling_frame_num, 64, 64, 3))
         student = jax.jit(model.init)(rng, sample)
@@ -139,10 +157,13 @@ def main(argv=None):
             if nshards > 1:
                 # per-host shards land on the shared FS; host 0 merges and
                 # scores the full set after a cross-host barrier (the
-                # reference's comm.gather of predictions)
-                from jax.experimental import multihost_utils
+                # reference's comm.gather of predictions). Coordination-
+                # service barrier, NOT a collective: shards finish at
+                # different times and the gloo smoke backend's first
+                # collective has a hard 30 s context-init window
+                from s2d_tpu.utils.jax_setup import multihost_barrier
 
-                multihost_utils.sync_global_devices(f"eval:{dataset_name}")
+                multihost_barrier(f"eval:{dataset_name}")
                 if shard == 0:
                     from s2d_tpu.evaluation.evaluator import (
                         merge_shard_results,
@@ -156,9 +177,7 @@ def main(argv=None):
                 # second barrier: the NEXT dataset reuses the same
                 # results_shard{i}.json names, so other hosts must not
                 # start writing them until host 0 has read these
-                multihost_utils.sync_global_devices(
-                    f"eval-merged:{dataset_name}"
-                )
+                multihost_barrier(f"eval-merged:{dataset_name}")
                 if shard != 0:
                     continue
             print(f"[{dataset_name}] " + "  ".join(
@@ -182,6 +201,21 @@ def main(argv=None):
     n_data = len(jax.devices()) // n_model
     while cfg.solver.ims_per_batch % n_data:
         n_data -= 1
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
+    if n_proc > 1:
+        # multi-HOST job (S2D_MULTIHOST=1): every device must sit in the
+        # mesh — an idle device on some process would leave that process
+        # with no shard to feed make_array_from_process_local_data
+        assert n_data * n_model == len(jax.devices()), (
+            f"multi-host mesh {n_data}x{n_model} must cover all "
+            f"{len(jax.devices())} devices (pick SOLVER.IMS_PER_BATCH "
+            "divisible by the data-axis size)"
+        )
+        assert cfg.solver.ims_per_batch % n_proc == 0, (
+            f"SOLVER.IMS_PER_BATCH {cfg.solver.ims_per_batch} not "
+            f"divisible by {n_proc} processes"
+        )
     mesh = create_mesh(
         n_data=n_data, n_model=n_model, devices=jax.devices()[: n_data * n_model]
     )
@@ -242,11 +276,17 @@ def main(argv=None):
             max_ratio=dl.copy_paste_max_ratio,
             densify_sparse=dl.copy_paste_densify_sparse,
         )
+    # each process loads its 1/n_proc slice of the global batch; the shared
+    # seed means every process walks the SAME permutation, taking
+    # interleaved items, so the assembled global batch (process shards
+    # concatenated in process order by make_array_from_process_local_data)
+    # equals the single-process batch — reference semantics: DDP sampler
+    # rank sharding with batch % world_size == 0
     loader = train_loader(
-        dicts, mapper, cfg.solver.ims_per_batch,
+        dicts, mapper, cfg.solver.ims_per_batch // n_proc,
         cfg.model.pixel_mean, cfg.model.pixel_std,
         seed=max(cfg.seed, 0),
-        num_shards=jax.process_count(), shard_index=jax.process_index(),
+        num_shards=n_proc, shard_index=jax.process_index(),
         batch_transform=batch_transform,
     )
 
@@ -272,7 +312,10 @@ def main(argv=None):
             out.update({f"{dataset_name}/{k}": v for k, v in m.items()})
         return out
 
-    logger = MetricLogger(cfg.output_dir)
+    # writers are main-process-only in a multi-host job (the reference's
+    # is_main_process gating): DP state is replicated, so process 0 holds
+    # the full value for checkpoints; other processes still compute/print
+    logger = MetricLogger(cfg.output_dir if is_main else None)
     train_rng = jax.random.PRNGKey(max(cfg.seed, 0) + 1)
     # resume continues from the stored iteration (reference
     # engine/defaults.py:450-473: start_iter = checkpointer iteration):
@@ -286,7 +329,12 @@ def main(argv=None):
 
     timer = StepTimer()
     # async writer: save() snapshots and returns; disk writes happen on
-    # orbax's background thread so checkpoints never stall the step loop
+    # orbax's background thread so checkpoints never stall the step loop.
+    # Multi-host: EVERY process constructs the manager and calls
+    # save()/close() — orbax coordinates via cross-process barriers and
+    # writes each array from its primary/owning host; gating this on
+    # process 0 would leave the other processes out of those barriers and
+    # desync the gloo cliques (observed: Gloo context init timeout)
     ckpt_writer = CheckpointWriter(ckpt_dir)
     with mesh:
         if n_model > 1:
@@ -313,6 +361,42 @@ def main(argv=None):
             host.update(timer.metrics())
             logger.log(p_it, host)
 
+        if n_proc > 1:
+            # Multi-host first-step discipline: compile WITHOUT executing,
+            # then align at the coordination-service barrier, so every
+            # process creates the first gloo/ICI collective context within
+            # milliseconds. Lazy jit would run compile (minutes) directly
+            # into the first cross-process psum, and gloo's context init
+            # has a hard 30 s key-exchange window — compile/scheduling
+            # skew on busy hosts kills the job there. The AOT-compiled
+            # step (same avals every iteration) serves the whole loop.
+            import itertools
+
+            from s2d_tpu.utils.jax_setup import multihost_barrier
+
+            first = next(loader_iter)
+            loader_iter = itertools.chain([first], loader_iter)
+            w_img, w_masks, w_valid = shard_batch(
+                mesh, (first["images"], first["masks"], first["valid"])
+            )
+            if "distill_images" in first:
+                w_di, w_da = shard_batch(
+                    mesh, (first["distill_images"], first["distill_affine"])
+                )
+                compiled = step_fn.lower(
+                    state, w_img, w_masks, w_valid, train_rng,
+                    distill_images=w_di, distill_affine=w_da,
+                ).compile()
+            else:
+                compiled = step_fn.lower(
+                    state, w_img, w_masks, w_valid, train_rng
+                ).compile()
+            # AOT-compiled callables take the same (args, kwargs) shapes
+            # they were lowered with
+            step_exec = compiled
+            multihost_barrier("train:compiled")
+        else:
+            step_exec = step_fn
         tracing = False
         for it in range(start_iter, cfg.solver.max_iter):
             if args.profile_dir:
@@ -333,12 +417,12 @@ def main(argv=None):
                 d_img, d_aff = shard_batch(
                     mesh, (batch["distill_images"], batch["distill_affine"])
                 )
-                state, metrics = step_fn(
+                state, metrics = step_exec(
                     state, images, masks, valid, train_rng,
                     distill_images=d_img, distill_affine=d_aff,
                 )
             else:
-                state, metrics = step_fn(state, images, masks, valid, train_rng)
+                state, metrics = step_exec(state, images, masks, valid, train_rng)
             flush_pending()
             pending = (it, metrics)
             done = (it + 1) == cfg.solver.max_iter
@@ -347,7 +431,14 @@ def main(argv=None):
                 ckpt_writer.save(it + 1, state)
             if eval_period > 0 and ((it + 1) % eval_period == 0 or done):
                 flush_pending()
-                logger.log(it, run_eval(state, it + 1))
+                if is_main:
+                    # mid-train eval is single-process work on the main
+                    # process's local devices (no collectives inside)
+                    logger.log(it, run_eval(state, it + 1))
+                if n_proc > 1:
+                    from s2d_tpu.utils.jax_setup import multihost_barrier
+
+                    multihost_barrier(f"eval@{it}")
                 timer = StepTimer()  # eval time must not count as data time
         flush_pending()
         if tracing:
