@@ -44,15 +44,42 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Device-put a host batch with the batch axis over `data`."""
+    """Device-put a host batch with the batch axis over `data`.
+
+    Single-process: `x` is the global batch, device_put scatters it over
+    the local data axis. Multi-HOST (jax.process_count() > 1): `x` is this
+    process's LOCAL shard of the global batch (the loader already shards
+    by process, tools/train_net_video.py), and
+    `make_array_from_process_local_data` assembles the global array —
+    process shards concatenate in process order along the data axis, so
+    the global batch equals the single-process batch when every process
+    feeds its `shard_index::num_shards` slice of a shared permutation.
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree
     )
 
 
 def replicate(mesh: Mesh, tree):
+    """Replicate a host tree over every mesh device. Multi-host: every
+    process holds the identical full value (same-seed init or the same
+    checkpoint), so each leaf is its own process-local copy."""
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree
     )

@@ -122,3 +122,25 @@ def force_cpu() -> None:
         )
     except Exception:
         pass
+
+
+def multihost_barrier(name: str, timeout_ms: int = 1_800_000) -> None:
+    """Cross-process barrier over the COORDINATION SERVICE (no-op
+    single-process).
+
+    Why not `multihost_utils.sync_global_devices`: that executes a psum,
+    and on the CPU/gloo smoke backend the FIRST collective creates the
+    gloo context with a hard-coded 30 s key-exchange timeout — two
+    processes that reach it more than 30 s apart (one-core hosts, skewed
+    jit compiles, shards finishing eval at different times) kill the job
+    with "Gloo context initialization failed". The coordination-service
+    barrier takes an explicit (generous) timeout and moves no tensor
+    data, so processes align HERE and then enter the first real
+    collective within milliseconds of each other. On TPU pods
+    (ICI collectives) it is simply a clean barrier."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
