@@ -120,6 +120,23 @@ def encode(mask: np.ndarray) -> RLE:
     return {"size": [h, w], "counts": counts_to_string(mask_to_counts(mask))}
 
 
+def encode_window(
+    crop: np.ndarray, y0: int, x0: int, h: int, w: int
+) -> RLE:
+    """RLE of a zero (h, w) canvas with the (ch, cw) bool `crop` pasted
+    at (y0, x0) — identical output to pasting + `encode`, without
+    materializing the canvas. The eval transport ships NMS survivors as
+    bbox crops (evaluation/inference.py), making this the results.json
+    hot path: O(crop) work instead of O(canvas) + a Fortran-order copy."""
+    counts = _native.encode_window_counts(crop, y0, x0, h, w)
+    if counts is None:  # no native lib: paste + standard encoder
+        canvas = np.zeros((h, w), bool)
+        ch, cw = crop.shape
+        canvas[y0: y0 + ch, x0: x0 + cw] = crop
+        counts = mask_to_counts(canvas)
+    return {"size": [h, w], "counts": counts_to_string(counts)}
+
+
 def decode(rle: RLE) -> np.ndarray:
     h, w = rle["size"]
     counts = rle["counts"]

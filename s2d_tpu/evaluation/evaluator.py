@@ -33,9 +33,34 @@ from .inference import postprocess_video
 def predictions_to_results(
     video_id: int, preds: Dict[str, np.ndarray], category_offset: int = 1
 ) -> List[dict]:
-    """Binarized track masks -> results.json entries (per-frame RLE)."""
+    """Binarized track masks -> results.json entries (per-frame RLE).
+
+    `preds["masks"]` is either a full (n, T, H, W) bool array or the
+    paste-free `WindowMasks` from the crop transport — the latter encodes
+    straight from each crop (rle.encode_window), identical RLEs at
+    O(crop) instead of O(canvas) per frame."""
+    from .inference import WindowMasks
+
+    masks = preds["masks"]
     results = []
-    for score, label, track in zip(preds["scores"], preds["labels"], preds["masks"]):
+    if isinstance(masks, WindowMasks):
+        for i, (score, label) in enumerate(zip(preds["scores"], preds["labels"])):
+            y0, x0 = int(masks.y0[i]), int(masks.x0[i])
+            h_i = min(masks.crops.shape[2], masks.height - y0)
+            segs = [
+                rle_codec.encode_window(
+                    frame[:h_i], y0, x0, masks.height, masks.width
+                )
+                for frame in masks.crops[i]
+            ]
+            results.append({
+                "video_id": int(video_id),
+                "score": float(score),
+                "category_id": int(label) + category_offset,
+                "segmentations": segs,
+            })
+        return results
+    for score, label, track in zip(preds["scores"], preds["labels"], masks):
         segs = [rle_codec.encode(frame) for frame in track]
         results.append(
             {
@@ -244,7 +269,11 @@ def evaluate_dataset(
         preds = {
             "scores": scores[keep],
             "labels": labels[keep],
-            "masks": finish_kept_masks_read(handle, keep, timers=stage),
+            # as_window: crop-transport masks stay as crops + offsets and
+            # RLE-encode directly (no canvas paste, no O(H*W) scan)
+            "masks": finish_kept_masks_read(
+                handle, keep, timers=stage, as_window=True
+            ),
         }
         t3 = time.perf_counter()
         results.extend(predictions_to_results(video_id, preds))

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Dict, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -384,13 +384,50 @@ def start_kept_masks_read(
     return ("full", masks, None, device_out)
 
 
+class WindowMasks(NamedTuple):
+    """Survivor masks as bbox crops + placements — the paste-free form
+    consumers that only need RLEs (rle.encode_window) work from.
+    `crops[i]` rows beyond `height - y0[i]` are padding (byte-row
+    alignment) and must be trimmed before use."""
+
+    crops: np.ndarray  # (n, T, ch, cw) bool
+    y0: np.ndarray  # (n,) pixel row of each crop's top edge
+    x0: np.ndarray  # (n,)
+    height: int
+    width: int
+
+    @property
+    def shape(self):  # len()/shape[0] compatibility with ndarray masks
+        return (self.crops.shape[0], self.crops.shape[1],
+                self.height, self.width)
+
+    def paste(self) -> np.ndarray:
+        """Materialize the full (n, T, H, W) bool canvas."""
+        n_, t_, ch, cw = self.crops.shape
+        out = np.zeros((n_, t_, self.height, self.width), np.bool_)
+        for i in range(n_):
+            yp = int(self.y0[i])
+            h_i = min(ch, self.height - yp)
+            out[i, :, yp: yp + h_i, self.x0[i]: self.x0[i] + cw] = (
+                self.crops[i, :, :h_i]
+            )
+        return out
+
+
 def finish_kept_masks_read(
     handle,
     keep: np.ndarray,
     timers: Dict[str, float] | None = None,
-) -> np.ndarray:
+    as_window: bool = False,
+) -> np.ndarray | WindowMasks:
     """Second half: block on the transfer and unpack to bool
     (n_keep, T, H, W) in original (score-sorted) prediction order.
+
+    `as_window=True`: when the crop transport was used, return the
+    paste-free `WindowMasks` instead of materializing full canvases —
+    RLE-only consumers (the evaluator) then encode straight from the
+    crops (rle.encode_window), skipping both the canvas paste and the
+    encoder's O(H*W) scan.
 
     timers: optional dict accumulating "readback_masks" / "unpack" stage
     seconds (the evaluator's attribution table)."""
@@ -404,12 +441,11 @@ def finish_kept_masks_read(
         y0, x0, w = extra[0]
         height = int(device_out["mask_height"])
         bits = np.unpackbits(crops, axis=-2).view(np.bool_)
-        n_, t_, ch, cw = bits.shape
-        out = np.zeros((n_, t_, height, w), np.bool_)
-        for i in range(n_):
-            yp = int(y0[i]) * 8
-            h_i = min(ch, height - yp)
-            out[i, :, yp: yp + h_i, x0[i]: x0[i] + cw] = bits[i, :, :h_i]
+        win = WindowMasks(
+            crops=bits, y0=np.asarray(y0) * 8, x0=np.asarray(x0),
+            height=height, width=w,
+        )
+        out = win if as_window else win.paste()
     elif kind == "sliced":
         packed = np.asarray(arr)[:n]
         t1 = time.perf_counter()

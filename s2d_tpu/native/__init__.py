@@ -63,7 +63,7 @@ def lib() -> Optional[ctypes.CDLL]:
                         os.remove(fresh)
     try:
         cdll = ctypes.CDLL(_SO)
-        if not hasattr(cdll, "rle_string_to_counts"):
+        if not hasattr(cdll, "rle_encode_window"):
             # stale binary from an older source revision: rebuild and load
             # under a unique path (dlopen returns the cached handle for an
             # already-loaded pathname), then move it over the stale file so
@@ -80,7 +80,7 @@ def lib() -> Optional[ctypes.CDLL]:
                 with contextlib.suppress(OSError):
                     os.remove(fresh)
                 raise
-            if not hasattr(cdll, "rle_string_to_counts"):
+            if not hasattr(cdll, "rle_encode_window"):
                 return None
         cdll.rle_encode.restype = ctypes.c_int64
         cdll.rle_encode.argtypes = [_u8p, ctypes.c_int64, _i64p, ctypes.c_int64]
@@ -94,6 +94,12 @@ def lib() -> Optional[ctypes.CDLL]:
         cdll.track_iou_matrix.argtypes = [
             _i64p, _i64p, _i64p, _i64p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _f64p,
+        ]
+        cdll.rle_encode_window.restype = ctypes.c_int64
+        cdll.rle_encode_window.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _i64p,
+            ctypes.c_int64,
         ]
         cdll.rle_counts_to_string.restype = ctypes.c_int64
         cdll.rle_counts_to_string.argtypes = [
@@ -120,6 +126,27 @@ def encode_counts(mask: np.ndarray) -> Optional[np.ndarray]:
     cap = flat.size + 2
     out = np.empty(cap, np.int64)
     k = cdll.rle_encode(flat, flat.size, out, cap)
+    if k < 0:
+        return None
+    return out[:k].copy()
+
+
+def encode_window_counts(
+    crop: np.ndarray, y0: int, x0: int, h: int, w: int
+) -> Optional[np.ndarray]:
+    """Run counts of a zero (h, w) canvas with the row-major (ch, cw)
+    `crop` pasted at (y0, x0) — without materializing the canvas (the
+    crop-transport results.json hot path). None if no lib/bounds."""
+    cdll = lib()
+    if cdll is None:
+        return None
+    crop = np.ascontiguousarray(np.asarray(crop, np.uint8))
+    ch, cw = crop.shape
+    cap = ch * cw + 2 * cw + 4
+    out = np.empty(cap, np.int64)
+    k = cdll.rle_encode_window(
+        crop, ch, cw, int(y0), int(x0), int(h), int(w), out, cap
+    )
     if k < 0:
         return None
     return out[:k].copy()

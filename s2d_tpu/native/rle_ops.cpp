@@ -41,6 +41,52 @@ int64_t rle_encode(const uint8_t* flat, int64_t n, int64_t* counts, int64_t cap)
     return k;
 }
 
+// Encode a full (h, w) canvas that is zero everywhere EXCEPT a
+// row-major (ch, cw) crop window placed at (y0, x0), directly into
+// column-major run counts — identical output to pasting the window into
+// a zero canvas and calling rle_encode, at O(ch*cw + #runs) instead of
+// O(h*w) work (and no 100s-of-MB Fortran-order copy on the caller
+// side). The eval transport ships survivors as bbox crops
+// (evaluation/inference.py), so this is the results.json hot path.
+int64_t rle_encode_window(const uint8_t* crop, int64_t ch, int64_t cw,
+                          int64_t y0, int64_t x0, int64_t h, int64_t w,
+                          int64_t* counts, int64_t cap) {
+    if (y0 < 0 || x0 < 0 || y0 + ch > h || x0 + cw > w) return -1;
+    int64_t k = 0;
+    uint8_t cur = 0;  // counts start with a zero-run
+    int64_t run = 0;
+    bool overflow = false;
+    auto emit = [&](uint8_t v, int64_t len) {
+        if (len == 0 || overflow) return;
+        if (v == cur) {
+            run += len;
+        } else if (k >= cap) {
+            overflow = true;
+        } else {
+            counts[k++] = run;
+            cur = v;
+            run = len;
+        }
+    };
+    emit(0, x0 * h);                       // columns left of the window
+    for (int64_t cx = 0; cx < cw; ++cx) {
+        emit(0, y0);                       // zeros above
+        int64_t y = 0;
+        while (y < ch) {                   // window column runs
+            uint8_t v = crop[y * cw + cx] != 0;
+            int64_t len = 1;
+            ++y;
+            while (y < ch && (crop[y * cw + cx] != 0) == v) { ++len; ++y; }
+            emit(v, len);
+        }
+        emit(0, h - y0 - ch);              // zeros below
+    }
+    emit(0, (w - x0 - cw) * h);            // columns right of the window
+    if (overflow || k >= cap) return -1;
+    counts[k++] = run;                     // final run (as rle_encode)
+    return k;
+}
+
 // Decode run counts into a column-major uint8 mask buffer of size n.
 void rle_decode(const int64_t* counts, int64_t k, uint8_t* flat, int64_t n) {
     int64_t pos = 0;

@@ -247,6 +247,27 @@ def test_bbox_crop_transport_bit_exact():
     full_packed = np.asarray(dev["masks"])
     assert crops.size < 0.7 * full_packed.size
 
+    # paste-free WindowMasks -> results.json equals the full-canvas path
+    from s2d_tpu.evaluation.evaluator import predictions_to_results
+    from s2d_tpu.evaluation.inference import (
+        WindowMasks,
+        finish_kept_masks_read,
+    )
+
+    handle2 = start_kept_masks_read(dev, keep, boxes=boxes)
+    win = finish_kept_masks_read(handle2, keep, as_window=True)
+    assert isinstance(win, WindowMasks)
+    np.testing.assert_array_equal(win.paste(), want)
+    preds_scores = scores[keep]
+    preds_labels = labels[keep]
+    r_win = predictions_to_results(
+        7, {"scores": preds_scores, "labels": preds_labels, "masks": win}
+    )
+    r_full = predictions_to_results(
+        7, {"scores": preds_scores, "labels": preds_labels, "masks": want}
+    )
+    assert r_win == r_full
+
 
 def test_keep_compaction_roundtrips():
     """Kept-first packed layout: the sliced-transfer path, the full-buffer

@@ -169,7 +169,7 @@ def test_finalize_error_propagates(many_videos_dataset, tmp_path, monkeypatch):
     from evaluate_dataset, not hang the pipeline or be swallowed."""
     from s2d_tpu.evaluation import inference as inf_mod
 
-    def boom(handle, keep, timers=None):
+    def boom(handle, keep, timers=None, as_window=False):
         raise RuntimeError("mask readback exploded")
 
     monkeypatch.setattr(inf_mod, "finish_kept_masks_read", boom)

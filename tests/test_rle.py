@@ -79,3 +79,43 @@ def test_polygons_to_mask():
     assert mask[5, 5]
     assert not mask[0, 0]
     assert 36 <= mask.sum() <= 49
+
+
+def test_encode_window_matches_paste_encode():
+    """encode_window == paste-into-zero-canvas + encode, bit-for-bit, on
+    random windows including borders, full-canvas, all-zero and all-one
+    crops (the crop-transport results.json hot path)."""
+    from s2d_tpu.data import rle
+
+    rng = np.random.default_rng(5)
+    h, w = 37, 53
+    cases = []
+    for _ in range(30):
+        ch = int(rng.integers(1, h + 1))
+        cw = int(rng.integers(1, w + 1))
+        y0 = int(rng.integers(0, h - ch + 1))
+        x0 = int(rng.integers(0, w - cw + 1))
+        cases.append((rng.random((ch, cw)) > 0.5, y0, x0))
+    cases.append((np.zeros((5, 4), bool), 0, 0))           # empty
+    cases.append((np.ones((5, 4), bool), 0, 0))            # solid at origin
+    cases.append((np.ones((h, w), bool), 0, 0))            # full canvas
+    cases.append((np.ones((3, 2), bool), h - 3, w - 2))    # bottom-right
+    cases.append((np.ones((h, 1), bool), 0, w - 1))        # last column
+    for crop, y0, x0 in cases:
+        canvas = np.zeros((h, w), bool)
+        canvas[y0: y0 + crop.shape[0], x0: x0 + crop.shape[1]] = crop
+        want = rle.encode(canvas)
+        got = rle.encode_window(crop, y0, x0, h, w)
+        assert got == want, (crop.shape, y0, x0)
+    # and the no-native fallback path agrees too
+    import s2d_tpu.native as native
+
+    orig = native.encode_window_counts
+    native.encode_window_counts = lambda *a: None
+    try:
+        crop, y0, x0 = cases[0]
+        canvas = np.zeros((h, w), bool)
+        canvas[y0: y0 + crop.shape[0], x0: x0 + crop.shape[1]] = crop
+        assert rle.encode_window(crop, y0, x0, h, w) == rle.encode(canvas)
+    finally:
+        native.encode_window_counts = orig
