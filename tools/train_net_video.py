@@ -379,18 +379,54 @@ def main(argv=None):
             w_img, w_masks, w_valid = shard_batch(
                 mesh, (first["images"], first["masks"], first["valid"])
             )
+            # ONE binary for the whole job: process 0 compiles the step,
+            # serializes the executable, and ships the BYTES through the
+            # coordination KV store; every other process deserializes and
+            # loads those exact bytes. Letting each process compile its
+            # own copy deadlocks: XLA's compile is not deterministic
+            # across processes (observed: different HLO digests from
+            # identical inputs, one binary's AllGather paired against the
+            # other's all-reduce — symmetric gloo send timeouts). This is
+            # also the torch-world invariant (one DDP binary everywhere),
+            # recovered here at the executable level.
             if "distill_images" in first:
                 w_di, w_da = shard_batch(
                     mesh, (first["distill_images"], first["distill_affine"])
                 )
-                compiled = step_fn.lower(
+                lowered = step_fn.lower(
                     state, w_img, w_masks, w_valid, train_rng,
                     distill_images=w_di, distill_affine=w_da,
-                ).compile()
+                )
             else:
-                compiled = step_fn.lower(
+                lowered = step_fn.lower(
                     state, w_img, w_masks, w_valid, train_rng
-                ).compile()
+                )
+            # SEQUENTIAL compile through the shared persistent cache:
+            # process 0 compiles and writes the cache entry, the rest
+            # compile after the barrier and load the identical bytes
+            # (XLA compilation is NOT deterministic across processes —
+            # observed: different HLO digests from identical inputs,
+            # pairing one binary's AllGather against the other's
+            # all-reduce; executable serialization cannot round-trip on
+            # the XLA:CPU smoke backend, so the cache is the sharing
+            # mechanism)
+            if jax.process_index() != 0:
+                multihost_barrier("train:compile0")
+            compiled = lowered.compile()
+            if jax.process_index() == 0:
+                multihost_barrier("train:compile0")
+            if os.environ.get("S2D_MH_DEBUG"):
+                import hashlib
+
+                hlo = compiled.as_text()
+                print(
+                    f"[mh-debug p{jax.process_index()}] warmup shapes "
+                    f"img={first['images'].shape} masks={first['masks'].shape} "
+                    f"valid={first['valid'].shape} "
+                    f"hlo={hashlib.sha256(hlo.encode()).hexdigest()[:16]} "
+                    f"len={len(hlo)}",
+                    flush=True,
+                )
             # AOT-compiled callables take the same (args, kwargs) shapes
             # they were lowered with
             step_exec = compiled
