@@ -150,12 +150,6 @@ def _postprocess_video_jit(
             composed_interp_matrix(mw, pad_w, image_size[1], output_size[1]),
             dtype=compute_dtype,
         )
-        # chunked over predictions (lax.map) like the f32 path: the
-        # un-chunked einsum pair materializes (P*T, out_h, mw) bf16 +
-        # (P*T, out_h, out_w) bf16 — ~6.6 GB at the whole-video
-        # P=50, T=64, 720x1280 shapes, which OOMs v5e next to the bool
-        # output + IoU buffers. Chunking caps the bf16 live set at
-        # chunk_size/P of that while the MXU matmuls stay large.
         def resize_chunk_bf16(chunk):  # (C, t, mh, mw)
             flat = chunk.reshape(-1, mh, mw)
             up_h = jnp.einsum(
@@ -168,9 +162,23 @@ def _postprocess_video_jit(
             ) > 0.0
             return m.reshape(*chunk.shape[:2], *output_size)
 
-        chunks = jnp.stack(jnp.split(sel, _chunks(num_predictions), axis=0))
-        masks = jax.lax.map(resize_chunk_bf16, chunks)
-        masks = masks.reshape(num_predictions, t, *output_size)
+        # one-shot when the bf16 intermediates stay modest (the short
+        # protocol keeps its ~1.5% lax.map-free edge); chunked over
+        # predictions like the f32 path otherwise — un-chunked, the
+        # einsum pair materializes (P*T, out_h, mw) + (P*T, out_h, out_w)
+        # bf16, ~6.6 GB at the whole-video P=50, T=64, 720x1280 shapes,
+        # which OOMs v5e next to the bool output + IoU buffers
+        bf16_bytes = 2 * num_predictions * t * output_size[0] * (
+            output_size[1] + mw
+        )
+        if bf16_bytes <= int(1.5e9):
+            masks = resize_chunk_bf16(sel)
+        else:
+            chunks = jnp.stack(
+                jnp.split(sel, _chunks(num_predictions), axis=0)
+            )
+            masks = jax.lax.map(resize_chunk_bf16, chunks)
+            masks = masks.reshape(num_predictions, t, *output_size)
     else:
         up = interpolate_bilinear(sel, (pad_h, pad_w), precision="default")
         up = up[:, :, : image_size[0], : image_size[1]]
