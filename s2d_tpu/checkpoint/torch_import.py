@@ -121,7 +121,27 @@ def _convert_resnet_backbone(
     bb["stem_conv1"] = {"kernel": take_conv("backbone.stem.conv1.weight")}
     s, b = take_bn("backbone.stem.conv1.norm")
     bb["stem_norm1"] = {"scale": s, "bias": b}
-    stage_blocks = {"res2": 3, "res3": 4, "res4": 6, "res5": 3}
+    # stage depths from the checkpoint itself (R50 {3,4,6,3}, R101
+    # {3,4,23,3}, ...) — the graft template must be built at the matching
+    # MODEL.RESNETS.DEPTH; basic-block nets (R18/34, no conv3) are
+    # rejected with a clear error instead of a KeyError mid-conversion
+    import re
+
+    stage_blocks = {
+        stage: 1 + max(
+            (int(m.group(1)) for k in state
+             for m in [re.match(
+                 rf"backbone\.{stage}\.(\d+)\.conv1\.weight$", k)]
+             if m),
+            default=-1,
+        )
+        for stage in ("res2", "res3", "res4", "res5")
+    }
+    if "backbone.res2.0.conv3.weight" not in state:
+        raise ValueError(
+            "only bottleneck ResNets (50/101/152) are supported: the "
+            "checkpoint has no res2.0.conv3 (R18/34 basic blocks)"
+        )
     for stage, nblocks in stage_blocks.items():
         for i in range(nblocks):
             blk: Dict[str, Any] = {}
@@ -400,12 +420,24 @@ def _pretrain_skip(key: str) -> bool:
     )
 
 
-def load_backbone_weights(path: str, variables: Dict[str, Any]) -> Dict[str, Any]:
-    """Graft a d2-layout BACKBONE pretrain checkpoint into `variables`
-    (the analog of d2's matching-heuristics load of an ImageNet backbone;
-    every non-backbone parameter keeps its current — usually fresh —
-    init). Raises on unconsumed backbone keys."""
-    state = load_torch_checkpoint(path)
+def load_backbone_weights(
+    path_or_state, variables: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Graft a d2-layout BACKBONE pretrain checkpoint (a path, or an
+    already-loaded state dict — callers that probed with is_backbone_only
+    pass the loaded dict to avoid a second disk read) into `variables`
+    (the analog of d2's matching-heuristics load of an ImageNet backbone).
+    Converted modules MERGE over the existing backbone subtree, so
+    detection-only modules with no pretrain counterpart (e.g. the Swin
+    per-stage out_norm{0..3} — ImageNet Swin checkpoints carry only the
+    classifier-side final norm) keep their fresh init, exactly as d2's
+    matching heuristics leave unmatched model params alone. Raises on
+    unconsumed backbone keys."""
+    state = (
+        load_torch_checkpoint(path_or_state)
+        if isinstance(path_or_state, str)
+        else dict(path_or_state)
+    )
     if not any(k.startswith("backbone.") for k in state):
         state = {f"backbone.{k}": v for k, v in state.items()}
     consumed: set = set()
@@ -421,5 +453,5 @@ def load_backbone_weights(path: str, variables: Dict[str, Any]) -> Dict[str, Any
             f"Unconsumed backbone checkpoint keys: {sorted(leftover)[:10]} ..."
         )
     out = {**variables, "params": dict(variables["params"])}
-    out["params"]["backbone"] = bb
+    out["params"]["backbone"] = {**variables["params"]["backbone"], **bb}
     return out

@@ -64,6 +64,7 @@ def prepare_distillation_targets(
     teacher_out: Dict[str, jnp.ndarray],
     score_threshold: float,
     pad_hw: Tuple[int, int],
+    upsample_dtype: jnp.dtype | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Teacher predictions -> fixed-shape distillation targets.
 
@@ -75,19 +76,16 @@ def prepare_distillation_targets(
     masks = teacher_out["pred_masks"]
     scores = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., :-1].max(-1)
     valid = scores >= score_threshold
-    # S2D_DIST_UPSAMPLE_BF16=1: run the x4 target upsample (the largest
-    # train-side intermediate, (B, Q, T, H, W)) in bf16 instead of f32.
-    # The reference computes this interpolation under fp16 autocast
+    # upsample_dtype: x4 target upsample precision ((B, Q, T, H, W), the
+    # largest train-side intermediate). The reference computes this
+    # interpolation under fp16 autocast
     # (kd_video_maskformer_model.py:441-470), so bf16 is the same noise
-    # class — f32 here is the rebuild being stricter than the reference.
-    # Off by default pending a measured win (tools/bench_step_attrib.py).
-    import os
-
-    dtype = (
-        jnp.bfloat16
-        if os.environ.get("S2D_DIST_UPSAMPLE_BF16", "0") == "1"
-        else jnp.float32
-    )
+    # class — f32 (the default) is the rebuild being stricter than the
+    # reference. Callers resolve the S2D_DIST_UPSAMPLE_BF16 env OUTSIDE
+    # the traced step (make_train_step), so flipping it isn't silently
+    # baked into a cached executable. Measured a no-op lever at CLI
+    # shapes (tools/bench_step_attrib.py) — kept as the documented knob.
+    dtype = jnp.float32 if upsample_dtype is None else upsample_dtype
     up = interpolate_bilinear(masks.astype(dtype), pad_hw)
     return up > 0.0, valid
 
@@ -220,6 +218,14 @@ def make_train_step(
     ema_fn = ema_momentum_schedule(cfg)
     kd_enabled = cfg.model.meta_architecture == "KDVideoMaskFormer"
     accum_iter = max(cfg.solver.accum_iter, 1)
+    # resolved HERE (closure construction), not inside the traced step
+    import os as _os
+
+    dist_upsample_dtype = (
+        jnp.bfloat16
+        if _os.environ.get("S2D_DIST_UPSAMPLE_BF16", "0") == "1"
+        else jnp.float32
+    )
 
     def train_step(
         state: TrainState,
@@ -255,7 +261,8 @@ def make_train_step(
             teacher_out = teacher_model.apply(state.teacher_params, images)
             teacher_out = jax.lax.stop_gradient(teacher_out)
             kd_masks, kd_valid = prepare_distillation_targets(
-                teacher_out, mf.score_threshold_distillation, pad_hw
+                teacher_out, mf.score_threshold_distillation, pad_hw,
+                upsample_dtype=dist_upsample_dtype,
             )
             if disentangled:
                 # replay the distill view's transform on teacher targets

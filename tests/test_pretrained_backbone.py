@@ -220,3 +220,53 @@ def test_swin_prep_wraps_keys_unchanged(tmp_path):
         res = pickle.load(f)
     assert res["__author__"] == "third_party"
     assert set(res["model"]) == set(sd)
+
+
+def test_graft_merges_over_existing_backbone(monkeypatch):
+    """Converted modules MERGE over the template backbone: modules the
+    pretrain checkpoint has no counterpart for (e.g. Swin's detection-side
+    out_norm{0..3}) keep their fresh init instead of vanishing."""
+    from s2d_tpu.checkpoint import torch_import as ti
+
+    variables = {"params": {
+        "backbone": {"stem_conv1": {"kernel": np.zeros((1,))},
+                     "out_norm0": {"scale": np.ones((4,))}},
+        "predictor": {"query_feat": np.zeros((2, 2))},
+    }}
+    monkeypatch.setattr(
+        ti, "_convert_resnet_backbone",
+        lambda state, consumed: (
+            consumed.update(state),
+            {"stem_conv1": {"kernel": np.ones((1,))}},
+        )[1],
+    )
+    out = ti.load_backbone_weights({"stem.conv1.weight": np.ones((1,))},
+                                   variables)
+    assert out["params"]["backbone"]["stem_conv1"]["kernel"][0] == 1.0
+    # the module absent from the checkpoint survives with its init
+    np.testing.assert_array_equal(
+        out["params"]["backbone"]["out_norm0"]["scale"], np.ones((4,))
+    )
+
+
+def test_basic_block_resnets_rejected_clearly(tmp_path):
+    """R18/34 basic-block checkpoints get a clear error, not a KeyError."""
+    import convert_pretrained_weights as cpw
+
+    from s2d_tpu.checkpoint.torch_import import load_backbone_weights
+
+    rng = np.random.RandomState(0)
+    sd = {"conv1.weight": rng.randn(64, 3, 7, 7).astype(np.float32)}
+    for n in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"bn1.{n}"] = np.ones(64, np.float32)
+    # one basic block: conv1/conv2 only, no conv3
+    for ci in (1, 2):
+        sd[f"layer1.0.conv{ci}.weight"] = rng.randn(64, 64, 3, 3).astype(np.float32)
+        for n in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"layer1.0.bn{ci}.{n}"] = np.ones(64, np.float32)
+    pth = tmp_path / "r18.pth"
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, str(pth))
+    out = tmp_path / "r18.pkl"
+    assert cpw.main(["--torchvision", str(pth), "--output", str(out)]) == 0
+    with pytest.raises(ValueError, match="bottleneck"):
+        load_backbone_weights(str(out), {"params": {"backbone": {}}})

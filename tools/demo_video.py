@@ -77,20 +77,26 @@ def main(argv=None):
     def load_files(files):
         return [cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2RGB) for f in files]
 
-    # (name or None, raw frame list) per video; name=None -> single-video
-    # mode, overlays land at the output root (the original CLI contract)
+    # (name or None, loader thunk) per video — frames decode LAZILY in
+    # submit(), so at most len(devices)+1 videos' raw frames are resident
+    # (the reference AsyncPredictor streams one clip per worker the same
+    # way). name=None -> single-video mode, overlays land at the output
+    # root (the original CLI contract).
     videos = []
     if args.video_input:
-        cap = cv2.VideoCapture(args.video_input)
-        raw = []
-        while True:
-            ok, frame = cap.read()
-            if not ok:
-                break
-            raw.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-        cap.release()
-        assert raw, f"no frames decoded from {args.video_input!r}"
-        videos.append((None, raw))
+        def load_video_file(path=args.video_input):
+            cap = cv2.VideoCapture(path)
+            raw = []
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                raw.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            cap.release()
+            assert raw, f"no frames decoded from {path!r}"
+            return raw
+
+        videos.append((None, load_video_file))
     else:
         assert args.input, "provide --input or --video-input"
         matches = sorted(glob.glob(args.input))
@@ -101,9 +107,17 @@ def main(argv=None):
                 files = sorted(glob.glob(os.path.join(d, "*.jpg")))
                 files += sorted(glob.glob(os.path.join(d, "*.png")))
                 assert files, f"no frames under {d!r}"
-                videos.append((os.path.basename(d.rstrip("/")), load_files(files)))
+                videos.append((
+                    os.path.basename(d.rstrip("/")),
+                    lambda fs=files: load_files(fs),
+                ))
+            first_frame_path = sorted(
+                glob.glob(os.path.join(matches[0], "*.jpg"))
+                + glob.glob(os.path.join(matches[0], "*.png"))
+            )[0]
         else:
-            videos.append((None, load_files(matches)))
+            videos.append((None, lambda fs=matches: load_files(fs)))
+            first_frame_path = matches[0]
 
     def prep(raw):
         oh, ow = raw[0].shape[:2]
@@ -118,7 +132,19 @@ def main(argv=None):
         ])
         return frames, (nh, nw), (oh, ow)
 
-    _, (nh, nw), _ = prep(videos[0][1])  # init shape only
+    # init shape from ONE frame (no full-video decode/resize)
+    if args.video_input:
+        cap = cv2.VideoCapture(args.video_input)
+        ok, f0 = cap.read()
+        cap.release()
+        assert ok, f"no frames decoded from {args.video_input!r}"
+        oh0, ow0 = f0.shape[:2]
+    else:
+        f0 = cv2.imread(first_frame_path)
+        oh0, ow0 = f0.shape[:2]
+    nh, nw = resize_shortest_edge(
+        oh0, ow0, cfg.input.min_size_test, cfg.input.max_size_test
+    )
 
     on_tpu = jax.default_backend() == "tpu"
     model = build_model(
@@ -163,7 +189,8 @@ def main(argv=None):
     vars_on = {d: jax.device_put(variables, d) for d in devices} \
         if len(devices) > 1 and len(videos) > 1 else {devices[0]: variables}
 
-    def submit(i, raw):
+    def submit(i, load):
+        raw = load()
         frames_i, (ih, iw), (voh, vow) = prep(raw)
         dev = devices[i % len(devices)] if len(vars_on) > 1 else devices[0]
         frames_dev = jax.device_put(frames_i, dev)
@@ -175,7 +202,7 @@ def main(argv=None):
             image_size=(ih, iw), output_size=(voh, vow),
             use_nms=tcfg.use_nms, nms_thresh=tcfg.nms_thresh,
         )
-        return device_out, dev
+        return device_out, dev, raw
 
     def write_outputs(name, raw, preds):
         out_dir = (
@@ -210,8 +237,9 @@ def main(argv=None):
     # submit up to one clip per device before finalizing in order (jax
     # dispatch is async — the in-flight window keeps every device busy)
     pending = []
-    for i, (name, raw) in enumerate(videos):
-        pending.append((name, raw, *submit(i, raw)))
+    for i, (name, load) in enumerate(videos):
+        dev_out_i, dev_i, raw = submit(i, load)
+        pending.append((name, raw, dev_out_i, dev_i))
         if len(pending) >= max(len(devices), 1):
             name0, raw0, dev_out0, d0 = pending.pop(0)
             n_inst = write_outputs(name0, raw0, finalize_predictions(dev_out0))

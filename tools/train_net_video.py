@@ -106,14 +106,15 @@ def main(argv=None):
             load_torch_checkpoint,
         )
 
-        if is_backbone_only(load_torch_checkpoint(weights)):
+        _ckpt_state = load_torch_checkpoint(weights)
+        if is_backbone_only(_ckpt_state):
             # ImageNet-pretrained backbone prep pkl (tools/
             # convert_pretrained_weights.py / the reference's convert-
             # torchvision-to-d2.py): graft the backbone into a fresh
             # init — d2's matching-heuristics load of MODEL.WEIGHTS
             sample = jnp.zeros((1, cfg.input.sampling_frame_num, 64, 64, 3))
             student = load_backbone_weights(
-                weights, jax.jit(model.init)(rng, sample)
+                _ckpt_state, jax.jit(model.init)(rng, sample)
             )
             teacher = jax.tree_util.tree_map(np.copy, student)
             print(f"Grafted pretrained backbone {weights}")
@@ -427,9 +428,41 @@ def main(argv=None):
                     f"len={len(hlo)}",
                     flush=True,
                 )
-            # AOT-compiled callables take the same (args, kwargs) shapes
-            # they were lowered with
-            step_exec = compiled
+            # The AOT executable is fixed to the first batch's canvas.
+            # Multi-scale training pads each batch to a PER-BATCH bucket,
+            # so later batches can arrive at other canvases — and worse,
+            # each process buckets over its own 1/n_proc shard, so local
+            # shard shapes can disagree WITHIN one global step. Multi-host
+            # training therefore requires a deterministic canvas; warn
+            # loudly up front, and fall back to the lazy jit (which
+            # recompiles per shape — fine on TPU pods, see the
+            # binary-identity note in NOTES_ROUND5.md) if a different
+            # canvas does show up.
+            if len(cfg.input.min_size_train) > 1:
+                print(
+                    "WARNING: multi-host training with multi-scale "
+                    f"INPUT.MIN_SIZE_TRAIN {cfg.input.min_size_train} — "
+                    "per-process batch canvases can diverge within a "
+                    "global step; prefer a single train scale under "
+                    "S2D_MULTIHOST=1",
+                    flush=True,
+                )
+            warm_shapes = tuple(
+                (a.shape, str(a.dtype))
+                for a in jax.tree_util.tree_leaves(
+                    (w_img, w_masks, w_valid)
+                )
+            )
+
+            def step_exec(st, im, ma, va, rng, **kw):
+                shapes = tuple(
+                    (a.shape, str(a.dtype))
+                    for a in jax.tree_util.tree_leaves((im, ma, va))
+                )
+                if shapes == warm_shapes:
+                    return compiled(st, im, ma, va, rng, **kw)
+                return step_fn(st, im, ma, va, rng, **kw)
+
             multihost_barrier("train:compiled")
         else:
             step_exec = step_fn
