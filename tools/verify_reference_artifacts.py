@@ -167,6 +167,24 @@ def stage_golden_parity(args, networks, arch, report):
     import numpy as np
     import torch
 
+    import jax
+    import jax.numpy as jnp
+
+    # parity math must be REAL f32: on TPU the f32 matmul default is a
+    # lower-precision pass (bf16x3-class) and the torch-vs-jax comparison
+    # would false-FAIL on numerics, not semantics. Scoped to this stage.
+    prev_precision = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        _stage_golden_parity(args, networks, arch, report)
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev_precision)
+
+
+def _stage_golden_parity(args, networks, arch, report):
+    import numpy as np
+    import torch
+
     import jax.numpy as jnp
 
     from test_demo_parity import torch_demo_postprocess  # tests/ on path
